@@ -1,0 +1,181 @@
+"""Converter — the two-pass schema-driven conversion pipeline.
+
+Reference lifecycle (/root/reference/data2neo/core/converter.py:374-419):
+pass 1 streams all resources through node supply-chains and commits nodes;
+pass 2 re-streams the same resources through relationship chains so every
+MATCH target exists. We keep the two-pass structure but each pass is a
+DataFrame job:
+
+  pass 1:  sources → per-rule selects → union → keyed last-writer-wins
+           merge-agg → node table materialized (the barrier + checkpoint)
+  pass 2:  sources ⋈ node table (per MATCH) → per-rule edge selects →
+           union → keyed dedup-agg → edge table
+
+No global write lock (reference converter.py:101-127 serializes merges);
+merge semantics come from the aggregation itself, with a DETERMINISTIC
+outcome (ordered by (source, row) sequence) — strictly stronger than the
+reference's racy imap_unordered order (converter.py:338).
+
+Parallelism knobs (num_workers/batch_size) exist for API familiarity but map
+to Spark config; ``serialize=True`` coalesces to one partition for ordered
+debugging runs (reference converter.py:394-419).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import lowering as L
+from ..plans.rules import CompiledSchema
+from ..schema.compiler import compile_schema
+from ..sources.iterators import ResourceIterator
+from ..core.types import union_wide
+from .store import GraphStore
+
+logger = logging.getLogger(__name__)
+
+# below this many nodes the MATCH join broadcasts the node table
+BROADCAST_NODE_LIMIT = 2_000_000
+
+
+class Converter:
+    """Compile a schema and convert typed resource streams into a GraphStore.
+
+    Args:
+        schema: conversion-schema DSL text (or a pre-compiled CompiledSchema).
+        iterator: a ResourceIterator, or a dict {entity_type: DataFrame}, or
+            a list of (entity_type, DataFrame) pairs (order = merge order).
+        store: GraphStore to merge into (created in-memory if omitted).
+        serialize: single-partition ordered mode (debugging; reference
+            converter.py:394-419).
+    """
+
+    def __init__(
+        self,
+        schema: Union[str, CompiledSchema],
+        iterator: Union[ResourceIterator, Dict[str, DataFrame], List[Tuple[str, DataFrame]]],
+        store: Optional[GraphStore] = None,
+        serialize: bool = False,
+        num_workers: Optional[int] = None,
+        batch_size: Optional[int] = None,
+    ) -> None:
+        if serialize and num_workers is not None and num_workers > 1:
+            raise ValueError(
+                "Serialize and num_workers are mutually exclusive: can't run "
+                "serialized with more than 1 worker"
+            )
+        self.schema = (
+            schema if isinstance(schema, CompiledSchema) else compile_schema(schema)
+        )
+        self.iterator = iterator
+        self.store = store
+        self.serialize = serialize
+        self._num_workers = num_workers
+        self._batch_size = batch_size
+
+    # --------------------------------------------------------------------
+
+    def _resolve_sources(self, spark: SparkSession) -> List[Tuple[str, DataFrame]]:
+        it = self.iterator
+        if isinstance(it, ResourceIterator):
+            pairs = it.resolve(spark)
+        elif isinstance(it, dict):
+            pairs = list(it.items())
+        else:
+            pairs = list(it)
+        out = []
+        for i, (etype, df) in enumerate(pairs):
+            if self.serialize:
+                df = df.coalesce(1)
+            df = df.withColumn(L.SEQ_SRC, F.lit(i).cast("long")).withColumn(
+                L.SEQ_ROW, F.monotonically_increasing_id()
+            )
+            out.append((etype, df))
+        return out
+
+    def __call__(self, spark: Optional[SparkSession] = None) -> GraphStore:
+        return self.run(spark)
+
+    def run(self, spark: Optional[SparkSession] = None) -> GraphStore:
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if self.store is None:
+            self.store = GraphStore(spark)
+        store = self.store
+        sources = self._resolve_sources(spark)
+
+        # ---------------- pass 1: nodes --------------------------------
+        t0 = time.time()
+        node_parts: List[DataFrame] = []
+        enriched: List[Tuple[str, DataFrame]] = []
+        for etype, df in sources:
+            rules = self.schema.entities.get(etype)
+            if rules is None:
+                enriched.append((etype, df))
+                continue
+            # attach same-row identifier columns (supplies) for pass 2
+            enriched_df = df
+            for rule in rules.node_rules:
+                enriched_df = L.attach_identifier_columns(enriched_df, rule)
+            enriched.append((etype, enriched_df))
+            if etype not in self.schema.node_mask:
+                continue  # type-mask pruning (reference converter.py:153-155)
+            for rule in rules.node_rules:
+                node_parts.append(L.lower_node_rule(df, rule))
+
+        if node_parts or store.nodes is not None:
+            existing = None
+            if store.nodes is not None:
+                # previous graph contents participate with the lowest
+                # sequence → new values overwrite (upsert, reference
+                # test_end_to_end.py:55-68)
+                existing = store.nodes.withColumn(
+                    L.SEQ_SRC, F.lit(-1).cast("long")
+                ).withColumn(L.SEQ_ROW, F.col(L.SEQ_ROW))
+            union = union_wide(([existing] if existing is not None else []) + node_parts)
+            merged = L.merge_elements(union, L.NODE_META, L.UID)
+            store.set_nodes(merged)
+            store.log_stage(
+                "nodes", n_nodes=store.node_count, wall_s=round(time.time() - t0, 3)
+            )
+
+        # ---------------- pass 2: relationships ------------------------
+        t1 = time.time()
+        broadcast_nodes = (
+            store.nodes is not None and store.node_count <= BROADCAST_NODE_LIMIT
+        )
+        edge_parts: List[DataFrame] = []
+        for etype, df in enriched:
+            rules = self.schema.entities.get(etype)
+            if rules is None or etype not in self.schema.relationship_mask:
+                continue
+            for rule in rules.rel_rules:
+                edge_parts.append(
+                    L.lower_rel_rule(df, rule, store.nodes, broadcast_nodes)
+                )
+
+        if edge_parts or store.edges is not None:
+            existing_e = None
+            if store.edges is not None:
+                existing_e = store.edges.withColumn(
+                    L.SEQ_SRC, F.lit(-1).cast("long")
+                )
+            union_e = union_wide(
+                ([existing_e] if existing_e is not None else []) + edge_parts
+            )
+            if union_e is not None:
+                merged_e = L.merge_elements(union_e, L.EDGE_META, L.EID)
+                store.set_edges(merged_e)
+                store.log_stage(
+                    "edges",
+                    n_edges=store.edges.count(),
+                    wall_s=round(time.time() - t1, 3),
+                )
+
+        store.log_stage("run", wall_s=round(time.time() - t0, 3))
+        return store

@@ -1,0 +1,175 @@
+"""GraphStore — the engine's graph backend (replaces Neo4j).
+
+Holds the merged node table and the edge table as DataFrames, optionally
+persisted to parquet (or Iceberg when a catalog is configured) under a
+directory:
+
+    <path>/nodes/        canonical node table
+    <path>/edges/        canonical edge table
+    <path>/_lineage/     per-run stage counters (resume/monitoring, north rule)
+
+Node table:  _uid, _labels, _primary_label, _pk_prop, _pk_val, _seq_src,
+             _seq_row, <one typed column per property>
+Edge table:  _eid, _src_uid, _rel_type, _dst_uid, _src_label, _src_key,
+             _dst_label, _dst_key, _pk_prop, _seq_src, _seq_row, <props>
+
+``match_nodes`` / ``match_relationships`` provide the reference's standalone
+query API (/root/reference/data2neo/neo4j/matching.py:34-120) as DataFrame
+filters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import lowering as L
+
+
+class GraphStore:
+    def __init__(self, spark: SparkSession, path: Optional[str] = None) -> None:
+        self.spark = spark
+        self.path = path
+        self._nodes: Optional[DataFrame] = None
+        self._edges: Optional[DataFrame] = None
+        self.counters: Dict[str, Any] = {}
+        self._node_count: Optional[int] = None
+        if path is not None:
+            os.makedirs(path, exist_ok=True)
+            if os.path.exists(os.path.join(path, "nodes", "_SUCCESS")):
+                self._nodes = spark.read.parquet(os.path.join(path, "nodes"))
+            if os.path.exists(os.path.join(path, "edges", "_SUCCESS")):
+                self._edges = spark.read.parquet(os.path.join(path, "edges"))
+
+    # --- tables -----------------------------------------------------------
+
+    @property
+    def nodes(self) -> Optional[DataFrame]:
+        return self._nodes
+
+    @property
+    def edges(self) -> Optional[DataFrame]:
+        return self._edges
+
+    @property
+    def node_count(self) -> int:
+        if self._node_count is None:
+            self._node_count = self._nodes.count() if self._nodes is not None else 0
+        return self._node_count
+
+    def set_nodes(self, df: DataFrame, materialize: bool = True) -> None:
+        """Install the merged node table; materializing it is the barrier
+        between the node pass and the relationship pass (reference two-pass
+        design, converter.py:374-393) and the resume checkpoint."""
+        if materialize:
+            df = self._materialize(df, "nodes")
+        self._nodes = df
+        self._node_count = None
+
+    def set_edges(self, df: DataFrame, materialize: bool = True) -> None:
+        if materialize:
+            df = self._materialize(df, "edges")
+        self._edges = df
+
+    def _materialize(self, df: DataFrame, name: str) -> DataFrame:
+        if self.path is not None:
+            target = os.path.join(self.path, name)
+            tmp = os.path.join(self.path, f"_tmp_{name}_{int(time.time() * 1000)}")
+            df.write.mode("overwrite").parquet(tmp)
+            # atomic-ish swap so a killed run never clobbers the previous
+            # checkpoint (idempotent resume, north rule)
+            old = os.path.join(self.path, f"_old_{name}")
+            if os.path.exists(target):
+                os.rename(target, old)
+            os.rename(tmp, target)
+            if os.path.exists(old):
+                import shutil
+                shutil.rmtree(old, ignore_errors=True)
+            return self.spark.read.parquet(target)
+        df = df.persist()
+        df.count()
+        return df
+
+    # --- lineage / counters -------------------------------------------------
+
+    def log_stage(self, stage: str, **metrics: Any) -> None:
+        rec = {"stage": stage, "ts": time.time(), **metrics}
+        self.counters.setdefault("stages", []).append(rec)
+        if self.path is not None:
+            lineage_dir = os.path.join(self.path, "_lineage")
+            os.makedirs(lineage_dir, exist_ok=True)
+            with open(os.path.join(lineage_dir, "stages.jsonl"), "a") as fh:
+                fh.write(json.dumps(rec, default=str) + "\n")
+
+    # --- query API (reference neo4j/matching.py) ----------------------------
+
+    def match_nodes(self, *labels: str, **conditions: Any) -> DataFrame:
+        if self._nodes is None:
+            raise ValueError("GraphStore has no nodes yet")
+        df = self._nodes
+        for lbl in labels:
+            df = df.filter(F.array_contains(F.col(L.LABELS), lbl))
+        for k, v in conditions.items():
+            df = df.filter(F.col(k) == F.lit(v))
+        return df
+
+    def match_relationships(
+        self,
+        rel_type: Optional[str] = None,
+        from_node_labels: Optional[List[str]] = None,
+        to_node_labels: Optional[List[str]] = None,
+        **conditions: Any,
+    ) -> DataFrame:
+        if self._edges is None:
+            raise ValueError("GraphStore has no edges yet")
+        df = self._edges
+        if rel_type is not None:
+            df = df.filter(F.col(L.RELTYPE) == rel_type)
+        for k, v in conditions.items():
+            df = df.filter(F.col(k) == F.lit(v))
+        if from_node_labels:
+            src = self.match_nodes(*from_node_labels).select(
+                F.col(L.UID).alias("__src_match")
+            )
+            df = df.join(F.broadcast(src), df[L.SRC_UID] == F.col("__src_match"), "left_semi")
+        if to_node_labels:
+            dst = self.match_nodes(*to_node_labels).select(
+                F.col(L.UID).alias("__dst_match")
+            )
+            df = df.join(F.broadcast(dst), df[L.DST_UID] == F.col("__dst_match"), "left_semi")
+        return df
+
+    # --- triple projection --------------------------------------------------
+
+    def triples(self) -> DataFrame:
+        """(subj, pred, obj) projection of the edge table.
+
+        Subjects/objects are human-readable ``Label:pk`` identifiers when the
+        endpoint was merged on a primary key, else ``Label:#uid``.
+        """
+        if self._edges is None:
+            raise ValueError("GraphStore has no edges yet")
+
+        def ident(label_col: str, key_col: str, uid_col: str):
+            return F.concat_ws(
+                ":",
+                F.col(label_col),
+                F.coalesce(
+                    F.col(key_col),
+                    F.concat(F.lit("#"), F.col(uid_col).cast("string")),
+                ),
+            )
+
+        return self._edges.select(
+            ident(L.SRC_LABEL, L.SRC_KEY, L.SRC_UID).alias("subj"),
+            F.col(L.RELTYPE).alias("pred"),
+            ident(L.DST_LABEL, L.DST_KEY, L.DST_UID).alias("obj"),
+        )
+
+    def save_triples(self, path: str) -> None:
+        self.triples().write.mode("overwrite").parquet(path)

@@ -1,0 +1,601 @@
+"""Rule descriptors → DataFrame expressions.
+
+This is where the reference's per-row factory execution
+(/root/reference/data2neo/core/factories/factory.py:154-242) becomes columnar:
+
+* every NODE rule lowers to ONE ``select`` over its source DataFrame,
+* identifier matchers lower to same-row column references (zero joins —
+  strictly cheaper than the reference's supplies-dict lookup,
+  matcher.py:64-69),
+* MATCH matchers lower to equi hash joins against the merged node table
+  (replacing the reference's per-row Cypher round-trip, matcher.py:94-96),
+* built-in wrappers (INT/FLOAT/...) lower to native Column expressions,
+  user wrappers to Arrow-batched pandas UDFs.
+
+Canonical internal columns all start with ``_`` (user property keys that
+shadow them are rejected at lowering time).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import registrar
+from ..core.graph_elements import Attribute, coerce_value
+from ..core.types import python_str_column, spark_type_of_literal
+from .rules import AttrSpec, MatchSpec, NodeRule, RelRule, WrapperApplication
+
+# canonical node columns
+UID = "_uid"
+LABELS = "_labels"
+PLABEL = "_primary_label"
+PKPROP = "_pk_prop"
+PKVAL = "_pk_val"
+SEQ_SRC = "_seq_src"
+SEQ_ROW = "_seq_row"
+
+# canonical edge columns
+EID = "_eid"
+SRC_UID = "_src_uid"
+RELTYPE = "_rel_type"
+DST_UID = "_dst_uid"
+SRC_LABEL = "_src_label"
+SRC_KEY = "_src_key"
+DST_LABEL = "_dst_label"
+DST_KEY = "_dst_key"
+
+NODE_META = [UID, LABELS, PLABEL, PKPROP, PKVAL, SEQ_SRC, SEQ_ROW]
+EDGE_META = [EID, SRC_UID, RELTYPE, DST_UID, SRC_LABEL, SRC_KEY, DST_LABEL,
+             DST_KEY, PKPROP, SEQ_SRC, SEQ_ROW]
+
+
+def _nid(identifier: str) -> str:
+    return f"_nid__{identifier}"
+
+
+def _nlabel(identifier: str) -> str:
+    return f"_nlabel__{identifier}"
+
+
+def _nkey(identifier: str) -> str:
+    return f"_nkey__{identifier}"
+
+
+def dtype_of(df: DataFrame, col: Column) -> T.DataType:
+    """Result dtype of an expression over df (analysis only, no job)."""
+    return df.select(col.alias("_t")).schema[0].dataType
+
+
+def _probe_value(dtype: T.DataType):
+    if isinstance(dtype, T.BooleanType):
+        return True
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return 1
+    if isinstance(dtype, T.NumericType):
+        return 1.0
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        import datetime
+        return datetime.datetime(2020, 1, 1)
+    if isinstance(dtype, T.DateType):
+        import datetime
+        return datetime.date(2020, 1, 1)
+    return "1"
+
+
+def _spark_type_for(value) -> T.DataType:
+    import datetime
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, datetime.datetime):
+        return T.TimestampType()
+    if isinstance(value, datetime.date):
+        return T.DateType()
+    return T.StringType()
+
+
+def _infer_post_chain_type(
+    fns: List[Tuple], key: str, input_dtype: T.DataType
+) -> T.DataType:
+    """Infer the output Spark type of a python postprocessor chain by probing
+    with a type-representative value; falls back to string."""
+    try:
+        attr = Attribute(key or "k", _probe_value(input_dtype))
+        for fn, static_args in fns:
+            attr = fn(attr, *static_args)
+            if attr is None:
+                return T.StringType()
+        return _spark_type_for(attr.value)
+    except Exception:
+        return T.StringType()
+
+
+class LoweringError(ValueError):
+    pass
+
+
+def attr_column(
+    spec: AttrSpec,
+    df: DataFrame,
+    entity_type: str,
+) -> Column:
+    """Lower an AttrSpec (with wrapper chain) to a Column over df."""
+    schema_fields = {f.name: f.dataType for f in df.schema.fields}
+
+    # split wrappers: outermost-first in spec.wrappers.
+    # execution order: pre outer→inner, value, post inner→outer.
+    pre_fns: List[Tuple] = []     # in execution order
+    post_chain: List[Tuple[str, WrapperApplication]] = []  # inner→outer
+    for w in spec.wrappers:  # outermost-first
+        wdef = registrar.get_wrapper(w.name)
+        if wdef.kind == registrar.ATTR_PRE:
+            pre_fns.append((wdef.fn, w.static_args))
+        elif wdef.kind in (registrar.ATTR_POST, registrar.ATTR_POST_VEC,
+                           registrar.FULL_WRAPPER):
+            post_chain.insert(0, (wdef, w))
+        else:
+            raise LoweringError(
+                f"Wrapper '{w.name}' of kind {wdef.kind} cannot wrap an attribute"
+            )
+
+    # base value column
+    if spec.is_static:
+        base = F.lit(spec.static)
+        base_dtype = spark_type_of_literal(spec.static)
+    elif spec.column is not None:
+        if spec.column not in schema_fields and not pre_fns:
+            raise LoweringError(
+                f"AttributeFactory: Error while extracting the attribute "
+                f"{spec.column} from an entity with type {entity_type}"
+            )
+        if not pre_fns:
+            base = F.col(spec.column)
+            base_dtype = schema_fields[spec.column]
+        else:
+            base = None
+            base_dtype = schema_fields.get(spec.column, T.StringType())
+    else:
+        base = F.lit(None)
+        base_dtype = T.NullType()
+
+    if pre_fns:
+        # preprocessors need the whole row: Arrow-batched python over a
+        # struct of all source columns (reference factory_wrappers.py:105-142)
+        col_names = list(schema_fields.keys())
+        column = spec.column
+        static = spec.static
+
+        out_dtype = base_dtype
+
+        @F.pandas_udf(out_dtype.simpleString())
+        def _pre_udf(batch: pd.DataFrame) -> pd.Series:
+            out = []
+            for row in batch.itertuples(index=False):
+                resource = dict(zip(col_names, row))
+                dropped = False
+                for fn, sargs in pre_fns:
+                    resource = fn(resource, *sargs)
+                    if resource is None:
+                        dropped = True
+                        break
+                if dropped:
+                    out.append(None)
+                elif static is not None:
+                    out.append(static)
+                else:
+                    out.append(resource.get(column))
+            return pd.Series(out)
+
+        base = _pre_udf(F.struct(*[F.col(c) for c in col_names]))
+        base_dtype = out_dtype
+
+    col = base
+    dtype = base_dtype
+    # postprocessors inner→outer
+    i = 0
+    while i < len(post_chain):
+        wdef, w = post_chain[i]
+        if wdef.column_compiler is not None:
+            col = wdef.column_compiler(col, dtype, *w.static_args)
+            dtype = dtype_of(df, col)
+            i += 1
+        elif wdef.kind == registrar.ATTR_POST_VEC:
+            fn, sargs = wdef.fn, w.static_args
+            probe = fn(pd.Series([_probe_value(dtype)]), *sargs)
+            out_dtype = _spark_type_for(probe.iloc[0]) if len(probe) else T.StringType()
+
+            @F.pandas_udf(out_dtype.simpleString())
+            def _vec_udf(s: pd.Series, _fn=fn, _sargs=tuple(sargs)) -> pd.Series:
+                return _fn(s, *_sargs)
+
+            col = _vec_udf(col)
+            dtype = out_dtype
+            i += 1
+        else:
+            # consume a run of consecutive python postprocessors in ONE
+            # Arrow-batched UDF (avoids a python↔JVM hop per wrapper)
+            run: List[Tuple] = []
+            while i < len(post_chain):
+                wdef_i, w_i = post_chain[i]
+                if wdef_i.column_compiler is None and wdef_i.kind in (
+                    registrar.ATTR_POST, registrar.FULL_WRAPPER
+                ):
+                    run.append((wdef_i.fn, tuple(w_i.static_args)))
+                    i += 1
+                else:
+                    break
+            key = spec.key
+            out_dtype = _infer_post_chain_type(run, key, dtype)
+
+            @F.pandas_udf(out_dtype.simpleString())
+            def _post_udf(s: pd.Series, _run=tuple(run), _key=key) -> pd.Series:
+                out = []
+                for v in s:
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        out.append(None)
+                        continue
+                    attr = Attribute(_key or "k", v)
+                    for fn, sargs in _run:
+                        attr = fn(attr, *sargs)
+                        if attr is None:
+                            break
+                    out.append(coerce_value(attr.value) if attr is not None else None)
+                return pd.Series(out, dtype=object)
+
+            col = _post_udf(col)
+            dtype = out_dtype
+
+    return col
+
+
+def _label_columns(rule_labels: List[AttrSpec], df: DataFrame, entity_type: str) -> List[Column]:
+    cols = []
+    for spec in rule_labels:
+        c = attr_column(spec, df, entity_type)
+        dt = dtype_of(df, c)
+        cols.append(python_str_column(c, dt))
+    return cols
+
+
+def apply_subgraph_preprocessors(
+    df: DataFrame, wrappers: List[WrapperApplication]
+) -> DataFrame:
+    """Lower subgraph preprocessors (conditional row filters / row rewrites,
+    reference factory_wrappers.py:99-101) to a mapInPandas stage.
+
+    The fn receives a dict-like resource; returning None drops the row for
+    this rule. Mutations of existing columns are honored; new keys are not
+    (columnar schemas are fixed per rule — documented divergence).
+    """
+    pres = []
+    rest = []
+    for w in wrappers:
+        wdef = registrar.get_wrapper(w.name)
+        if wdef.kind == registrar.SG_PRE:
+            pres.append((wdef.fn, tuple(w.static_args)))
+        else:
+            rest.append(w)
+    if not pres:
+        return df
+
+    col_names = [f.name for f in df.schema.fields]
+    schema = df.schema
+
+    def _apply(batches):
+        for pdf in batches:
+            keep_rows = []
+            for row in pdf.to_dict("records"):
+                resource = row
+                dropped = False
+                for fn, sargs in pres:
+                    resource = fn(resource, *sargs)
+                    if resource is None:
+                        dropped = True
+                        break
+                if not dropped:
+                    keep_rows.append({c: resource.get(c) for c in col_names})
+            yield pd.DataFrame(keep_rows, columns=col_names)
+
+    return df.mapInPandas(_apply, schema=schema)
+
+
+def lower_node_rule(df: DataFrame, rule: NodeRule) -> DataFrame:
+    """NODE rule → canonical node-rows DataFrame (one select over df).
+
+    Columns: NODE_META + one typed column per schema property.
+    df must already carry SEQ_SRC / SEQ_ROW.
+    """
+    base = apply_subgraph_preprocessors(df, rule.wrappers)
+
+    label_cols = _label_columns(rule.labels, base, rule.entity_type)
+    if not label_cols:
+        raise LoweringError(f"NODE rule in entity '{rule.entity_type}' has no labels")
+    labels_arr = F.filter(F.array(*label_cols), lambda x: x.isNotNull())
+    plabel = label_cols[0]
+
+    prop_cols: Dict[str, Column] = {}
+    for spec in rule.attributes:
+        if spec.key in NODE_META or spec.key in EDGE_META:
+            raise LoweringError(f"Property key '{spec.key}' is reserved")
+        prop_cols[spec.key] = attr_column(spec, base, rule.entity_type)
+
+    pk = rule.primary_key
+    if pk is not None and pk not in prop_cols:
+        raise LoweringError(
+            f"The primary key '{pk}' must refer to an existing property "
+            f"(NODE rule in entity '{rule.entity_type}')"
+        )
+
+    if pk is not None:
+        pk_col = prop_cols[pk]
+        pk_dtype = dtype_of(base, pk_col)
+        pkval = python_str_column(pk_col, pk_dtype)
+        uid = F.xxhash64(plabel, F.lit(pk), pkval)
+    else:
+        pkval = F.lit(None).cast("string")
+        uid = F.xxhash64(F.lit(rule.rule_id), F.col(SEQ_SRC), F.col(SEQ_ROW))
+
+    out = base.select(
+        uid.alias(UID),
+        labels_arr.alias(LABELS),
+        plabel.alias(PLABEL),
+        F.lit(pk).cast("string").alias(PKPROP),
+        pkval.alias(PKVAL),
+        F.col(SEQ_SRC),
+        F.col(SEQ_ROW),
+        *[c.alias(k) for k, c in prop_cols.items()],
+    )
+    if pk is not None:
+        # a null pk value cannot be merged on; reference raises per row
+        # (graph_elements.py:251-252) — we drop + count via observe
+        out = out.filter(F.col(PKVAL).isNotNull())
+    return out
+
+
+def attach_identifier_columns(df: DataFrame, rule: NodeRule) -> DataFrame:
+    """Attach the same-row node reference columns for rule.identifier.
+
+    This is the supplies mechanism (reference resource.py:23-27,
+    factory.py:292-294) re-expressed as plain columns: the node a row
+    produced is addressable by (uid, primary_label, pk_value) computed from
+    the row itself — no join, no shuffle.
+    """
+    if rule.identifier is None:
+        return df
+    base = df
+    label_cols = _label_columns(rule.labels, base, rule.entity_type)
+    plabel = label_cols[0]
+    pk = rule.primary_key
+    if pk is not None:
+        spec = next(s for s in rule.attributes if s.key == pk)
+        pk_col = attr_column(spec, base, rule.entity_type)
+        pkval = python_str_column(pk_col, dtype_of(base, pk_col))
+        uid = F.xxhash64(plabel, F.lit(pk), pkval)
+    else:
+        pkval = F.lit(None).cast("string")
+        uid = F.xxhash64(F.lit(rule.rule_id), F.col(SEQ_SRC), F.col(SEQ_ROW))
+    return (
+        base.withColumn(_nid(rule.identifier), uid)
+        .withColumn(_nlabel(rule.identifier), plabel)
+        .withColumn(_nkey(rule.identifier), pkval)
+    )
+
+
+def lower_match(
+    rows: DataFrame,
+    match: MatchSpec,
+    nodes: DataFrame,
+    entity_type: str,
+    side: str,
+    broadcast_nodes: bool,
+) -> DataFrame:
+    """MATCH(...) → equi join of rows against the node table.
+
+    Returns rows extended with ``<side>_uid / <side>_label / <side>_key``
+    columns (side ∈ {_from, _to}). Static labels and static conditions are
+    pushed into the node-side filter (predicate pushdown into the node scan);
+    row-derived conditions become join keys.
+    """
+    uid_out, label_out, key_out = f"{side}_uid", f"{side}_label", f"{side}_key"
+
+    if match.is_identifier:
+        nid = _nid(match.node_id)
+        if nid not in rows.columns:
+            raise KeyError(
+                f"Matcher: The provided resource does not contain the supply "
+                f"{match.node_id}"
+            )
+        return (
+            rows.withColumn(uid_out, F.col(nid))
+            .withColumn(label_out, F.col(_nlabel(match.node_id)))
+            .withColumn(key_out, F.col(_nkey(match.node_id)))
+        )
+
+    # --- condition path: join against node table -------------------------
+    cand = nodes
+    post_label_exprs: List[Column] = []
+    for spec in match.labels:
+        if spec.is_static and not spec.wrappers:
+            cand = cand.filter(F.array_contains(F.col(LABELS), str(spec.static)))
+        else:
+            # dynamic label: evaluated on the row side after the join
+            post_label_exprs.append(attr_column(spec, rows, entity_type))
+
+    # project candidate nodes: uid/meta + condition properties, renamed to
+    # avoid collisions with row columns
+    cond_keys = []
+    for spec in match.conditions:
+        if spec.key not in [f.name for f in nodes.schema.fields]:
+            # condition on a property no node has → no match possible
+            cond_keys.append((spec, None))
+        else:
+            cond_keys.append((spec, spec.key))
+
+    sel = [
+        F.col(UID).alias(uid_out),
+        F.col(PLABEL).alias(label_out),
+        F.col(PKVAL).alias(key_out),
+    ]
+    if post_label_exprs:
+        sel.append(F.col(LABELS).alias(f"{side}_all_labels"))
+    for i, (spec, k) in enumerate(cond_keys):
+        if k is not None:
+            sel.append(F.col(k).alias(f"{side}_cond_{i}"))
+    cand = cand.select(*sel)
+
+    join_cond = None
+    for i, (spec, k) in enumerate(cond_keys):
+        if k is None:
+            expr = F.lit(False)
+        else:
+            row_val = attr_column(spec, rows, entity_type)
+            node_col = F.col(f"{side}_cond_{i}")
+            node_dt = dtype_of(cand, node_col)
+            row_dt = dtype_of(rows, row_val)
+            if isinstance(node_dt, T.StringType) and not isinstance(row_dt, T.StringType):
+                row_val = python_str_column(row_val, row_dt)
+            elif isinstance(row_dt, T.StringType) and not isinstance(node_dt, T.StringType):
+                node_col = python_str_column(node_col, node_dt)
+            expr = node_col == row_val
+        join_cond = expr if join_cond is None else (join_cond & expr)
+    if join_cond is None:
+        join_cond = F.lit(True)
+
+    if broadcast_nodes:
+        cand = F.broadcast(cand)
+    joined = rows.join(cand, on=join_cond, how="inner")
+
+    for expr in post_label_exprs:
+        joined = joined.filter(
+            F.array_contains(F.col(f"{side}_all_labels"), expr)
+        )
+    if post_label_exprs:
+        joined = joined.drop(f"{side}_all_labels")
+    drop_cols = [f"{side}_cond_{i}" for i in range(len(cond_keys))]
+    return joined.drop(*drop_cols)
+
+
+def lower_rel_rule(
+    df: DataFrame,
+    rule: RelRule,
+    nodes: DataFrame,
+    broadcast_nodes: bool = False,
+) -> DataFrame:
+    """RELATIONSHIP rule → canonical edge-rows DataFrame.
+
+    The from/to matchers both join (or same-row-reference) on the source
+    rows; a row matched to m from-nodes and n to-nodes yields m×n edges —
+    the reference's cartesian product (factory.py:237-242) arises naturally
+    from the two joins.
+    """
+    base = apply_subgraph_preprocessors(df, rule.wrappers)
+
+    rows = lower_match(base, rule.from_match, nodes, rule.entity_type,
+                       "_from", broadcast_nodes)
+    rows = lower_match(rows, rule.to_match, nodes, rule.entity_type,
+                       "_to", broadcast_nodes)
+
+    type_col = attr_column(rule.type_attr, rows, rule.entity_type)
+    type_col = python_str_column(type_col, dtype_of(rows, type_col))
+
+    prop_cols: Dict[str, Column] = {}
+    for spec in rule.attributes:
+        if spec.key in NODE_META or spec.key in EDGE_META:
+            raise LoweringError(f"Property key '{spec.key}' is reserved")
+        prop_cols[spec.key] = attr_column(spec, rows, rule.entity_type)
+
+    pk = rule.primary_key
+    if pk is not None and pk not in prop_cols:
+        raise LoweringError(
+            f"The primary key '{pk}' must refer to an existing property "
+            f"(RELATIONSHIP rule in entity '{rule.entity_type}')"
+        )
+
+    # edge identity: merge rules get a content hash (idempotent across runs,
+    # the groupBy(_eid) dedup key); create rules get a unique per-row hash so
+    # parallel relationships survive (reference A5, converter.py:183-186)
+    if pk is not None:
+        pk_col = prop_cols[pk]
+        pkstr = python_str_column(pk_col, dtype_of(rows, pk_col))
+        eid = F.xxhash64(F.col("_from_uid"), type_col, F.col("_to_uid"),
+                         F.lit(pk), pkstr)
+    elif rule.ghost_primary_key:
+        eid = F.xxhash64(F.col("_from_uid"), type_col, F.col("_to_uid"))
+    else:
+        eid = F.xxhash64(F.lit(rule.rule_id), F.col(SEQ_SRC), F.col(SEQ_ROW),
+                         F.col("_from_uid"), F.col("_to_uid"), type_col)
+
+    return rows.select(
+        eid.alias(EID),
+        F.col("_from_uid").alias(SRC_UID),
+        type_col.alias(RELTYPE),
+        F.col("_to_uid").alias(DST_UID),
+        F.col("_from_label").alias(SRC_LABEL),
+        F.col("_from_key").alias(SRC_KEY),
+        F.col("_to_label").alias(DST_LABEL),
+        F.col("_to_key").alias(DST_KEY),
+        F.lit(pk).cast("string").alias(PKPROP),
+        F.col(SEQ_SRC),
+        F.col(SEQ_ROW),
+        *[c.alias(k) for k, c in prop_cols.items()],
+    )
+
+
+def merge_elements(
+    union_df: DataFrame,
+    meta_cols: List[str],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic last-writer-wins keyed aggregation — the engine's
+    replacement for Neo4j MERGE + SET (reference graph_elements.py:206-283,
+    cypher.py:113-175). One shuffle; map-side partial aggregation is free.
+
+    Ordering key = (SEQ_SRC, SEQ_ROW): later sources/rows overwrite earlier
+    values property-by-property (nulls never overwrite — a null property is
+    'absent', matching upsert semantics proven by the reference's
+    test_node_update). Strictly stronger than the reference, whose
+    imap_unordered commit order is racy (converter.py:338).
+    """
+    seq = F.struct(F.col(SEQ_SRC), F.col(SEQ_ROW))
+    prop_names = [f.name for f in union_df.schema.fields if f.name not in meta_cols]
+
+    aggs: List[Column] = []
+    if LABELS in meta_cols and LABELS in union_df.columns:
+        aggs.append(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col(LABELS)))))
+            .alias("_all_labels")
+        )
+    for c in meta_cols:
+        if c in (key_col, LABELS, SEQ_SRC, SEQ_ROW) or c not in union_df.columns:
+            continue
+        aggs.append(F.min_by(F.col(c), seq).alias(c))
+    aggs.append(F.max(seq).alias("_maxseq"))
+    for p in prop_names:
+        aggs.append(
+            F.max_by(F.col(p), F.when(F.col(p).isNotNull(), seq)).alias(p)
+        )
+
+    out = union_df.groupBy(F.col(key_col)).agg(*aggs)
+    if LABELS in meta_cols and LABELS in union_df.columns:
+        # primary label first, remaining labels sorted (deterministic)
+        out = out.withColumn(
+            LABELS,
+            F.concat(
+                F.array(F.col(PLABEL)),
+                F.array_remove(F.col("_all_labels"), F.col(PLABEL)),
+            ),
+        ).drop("_all_labels")
+    out = (
+        out.withColumn(SEQ_SRC, F.col("_maxseq").getField(SEQ_SRC))
+        .withColumn(SEQ_ROW, F.col("_maxseq").getField(SEQ_ROW))
+        .drop("_maxseq")
+    )
+    return out
