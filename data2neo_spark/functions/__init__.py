@@ -67,9 +67,10 @@ def strptime_to_spark(fmt: str) -> str:
 
     def flush_literal():
         if literal:
-            text = "".join(literal)
-            if any(c.isalpha() for c in text):
-                text = "'" + text.replace("'", "''") + "'"
+            import re
+            text = "".join(literal).replace("'", "''")
+            # quote alphabetic runs only (Spark reserves bare letters)
+            text = re.sub(r"[A-Za-z]+", lambda m: f"'{m.group()}'", text)
             out.append(text)
             literal.clear()
 
