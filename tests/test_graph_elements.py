@@ -67,7 +67,7 @@ def test_subgraph_algebra():
     diff = sg1 - sg2
     assert diff.nodes == {a, b} and diff.relationships == {r}
     sym = sg1 ^ sg2
-    assert sym.nodes == {a, c}
+    assert sym.nodes == {a, b, c}  # b retained as endpoint of surviving r
 
 
 def test_subgraph_auto_includes_endpoints():
