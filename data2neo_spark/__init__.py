@@ -21,6 +21,7 @@ architecture is DataFrame/Arrow-native throughout.
 """
 
 from .core.graph_elements import Attribute, Node, Relationship, Subgraph
+from .core.row_factories import AttributeFactoryWrapper, SubgraphFactoryWrapper
 from .core.registrar import (
     register_attribute_postprocessor,
     register_attribute_preprocessor,

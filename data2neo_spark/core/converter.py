@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Tuple, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans import dynamic as dyn
 from ..plans import lowering as L
 from ..plans.rules import CompiledSchema
 from ..schema.compiler import compile_schema
@@ -112,21 +113,31 @@ class Converter:
         # ---------------- pass 1: nodes --------------------------------
         t0 = time.time()
         node_parts: List[DataFrame] = []
+        dyn_edge_parts: List[DataFrame] = []
         enriched: List[Tuple[str, DataFrame]] = []
         for etype, df in sources:
             rules = self.schema.entities.get(etype)
             if rules is None:
                 enriched.append((etype, df))
                 continue
+            current = df
+            if etype in self.schema.node_mask:
+                for rule in rules.node_rules:
+                    if dyn.needs_dynamic(rule):
+                        long_df = dyn.lower_node_rule_dynamic(current, rule).persist()
+                        nodes_part, extra_edges = dyn.dynamic_to_canonical(long_df, rule)
+                        node_parts.append(nodes_part)
+                        if extra_edges is not None:
+                            dyn_edge_parts.append(extra_edges)
+                    else:
+                        node_parts.append(L.lower_node_rule(current, rule))
+                    # preprocessor mutations persist for later rules + pass 2
+                    current = L.propagate_sg_pre_mutations(current, rule.wrappers)
             # attach same-row identifier columns (supplies) for pass 2
-            enriched_df = df
+            enriched_df = current
             for rule in rules.node_rules:
                 enriched_df = L.attach_identifier_columns(enriched_df, rule)
             enriched.append((etype, enriched_df))
-            if etype not in self.schema.node_mask:
-                continue  # type-mask pruning (reference converter.py:153-155)
-            for rule in rules.node_rules:
-                node_parts.append(L.lower_node_rule(df, rule))
 
         if node_parts or store.nodes is not None:
             existing = None
@@ -149,15 +160,15 @@ class Converter:
         broadcast_nodes = (
             store.nodes is not None and store.node_count <= BROADCAST_NODE_LIMIT
         )
-        edge_parts: List[DataFrame] = []
+        edge_parts: List[DataFrame] = list(dyn_edge_parts)
         for etype, df in enriched:
             rules = self.schema.entities.get(etype)
             if rules is None or etype not in self.schema.relationship_mask:
                 continue
             for rule in rules.rel_rules:
-                edge_parts.append(
-                    L.lower_rel_rule(df, rule, store.nodes, broadcast_nodes)
-                )
+                part = L.lower_rel_rule(df, rule, store.nodes, broadcast_nodes)
+                part = dyn.apply_rel_postprocessors_dynamic(part, rule)
+                edge_parts.append(part)
 
         if edge_parts or store.edges is not None:
             existing_e = None

@@ -256,19 +256,22 @@ class Subgraph:
         nodes: Iterable[Node] = (),
         relationships: Iterable[Relationship] = (),
     ) -> None:
-        self._nodes: Set[Node] = set(nodes)
-        self._relationships: Set[Relationship] = set(relationships)
+        # insertion-ordered unique (dict-as-ordered-set): the reference's
+        # subgraph postprocessors index into ``subgraph.nodes[0]``
+        # (tests/integration/test_wrappers.py:92-96)
+        self._nodes: Dict[Node, None] = dict.fromkeys(nodes)
+        self._relationships: Dict[Relationship, None] = dict.fromkeys(relationships)
         for rel in self._relationships:
-            self._nodes.add(rel.start_node)
-            self._nodes.add(rel.end_node)
+            self._nodes.setdefault(rel.start_node)
+            self._nodes.setdefault(rel.end_node)
 
     @property
-    def nodes(self) -> Set[Node]:
-        return set(self._nodes)
+    def nodes(self) -> List[Node]:
+        return list(self._nodes)
 
     @property
-    def relationships(self) -> Set[Relationship]:
-        return set(self._relationships)
+    def relationships(self) -> List[Relationship]:
+        return list(self._relationships)
 
     @staticmethod
     def _as_subgraph(other: Any) -> "Subgraph":
@@ -282,21 +285,35 @@ class Subgraph:
 
     def __or__(self, other: Any) -> "Subgraph":
         o = self._as_subgraph(other)
-        return Subgraph(self._nodes | o._nodes, self._relationships | o._relationships)
+        return Subgraph(
+            list(self._nodes) + list(o._nodes),
+            list(self._relationships) + list(o._relationships),
+        )
 
     __ror__ = __or__
 
     def __and__(self, other: Any) -> "Subgraph":
         o = self._as_subgraph(other)
-        return Subgraph(self._nodes & o._nodes, self._relationships & o._relationships)
+        return Subgraph(
+            [n for n in self._nodes if n in o._nodes],
+            [r for r in self._relationships if r in o._relationships],
+        )
 
     def __sub__(self, other: Any) -> "Subgraph":
         o = self._as_subgraph(other)
-        return Subgraph(self._nodes - o._nodes, self._relationships - o._relationships)
+        return Subgraph(
+            [n for n in self._nodes if n not in o._nodes],
+            [r for r in self._relationships if r not in o._relationships],
+        )
 
     def __xor__(self, other: Any) -> "Subgraph":
         o = self._as_subgraph(other)
-        return Subgraph(self._nodes ^ o._nodes, self._relationships ^ o._relationships)
+        return Subgraph(
+            [n for n in self._nodes if n not in o._nodes]
+            + [n for n in o._nodes if n not in self._nodes],
+            [r for r in self._relationships if r not in o._relationships]
+            + [r for r in o._relationships if r not in self._relationships],
+        )
 
     def __len__(self) -> int:
         return len(self._nodes) + len(self._relationships)

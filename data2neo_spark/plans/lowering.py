@@ -208,15 +208,17 @@ def attr_column(
             dtype = dtype_of(df, col)
             i += 1
         elif wdef.kind == registrar.ATTR_POST_VEC:
-            fn, sargs = wdef.fn, w.static_args
+            fn, sargs = wdef.fn, tuple(w.static_args)
             probe = fn(pd.Series([_probe_value(dtype)]), *sargs)
             out_dtype = _spark_type_for(probe.iloc[0]) if len(probe) else T.StringType()
 
-            @F.pandas_udf(out_dtype.simpleString())
-            def _vec_udf(s: pd.Series, _fn=fn, _sargs=tuple(sargs)) -> pd.Series:
-                return _fn(s, *_sargs)
+            def _make_vec(fn=fn, sargs=sargs):
+                @F.pandas_udf(out_dtype.simpleString())
+                def _vec_udf(s: pd.Series) -> pd.Series:
+                    return fn(s, *sargs)
+                return _vec_udf
 
-            col = _vec_udf(col)
+            col = _make_vec()(col)
             dtype = out_dtype
             i += 1
         else:
@@ -235,22 +237,24 @@ def attr_column(
             key = spec.key
             out_dtype = _infer_post_chain_type(run, key, dtype)
 
-            @F.pandas_udf(out_dtype.simpleString())
-            def _post_udf(s: pd.Series, _run=tuple(run), _key=key) -> pd.Series:
-                out = []
-                for v in s:
-                    if v is None or (isinstance(v, float) and pd.isna(v)):
-                        out.append(None)
-                        continue
-                    attr = Attribute(_key or "k", v)
-                    for fn, sargs in _run:
-                        attr = fn(attr, *sargs)
-                        if attr is None:
-                            break
-                    out.append(coerce_value(attr.value) if attr is not None else None)
-                return pd.Series(out, dtype=object)
+            def _make_post(run=tuple(run), key=key):
+                @F.pandas_udf(out_dtype.simpleString())
+                def _post_udf(s: pd.Series) -> pd.Series:
+                    out = []
+                    for v in s:
+                        if v is None or (isinstance(v, float) and pd.isna(v)):
+                            out.append(None)
+                            continue
+                        attr = Attribute(key or "k", v)
+                        for fn, sargs in run:
+                            attr = fn(attr, *sargs)
+                            if attr is None:
+                                break
+                        out.append(coerce_value(attr.value) if attr is not None else None)
+                    return pd.Series(out, dtype=object)
+                return _post_udf
 
-            col = _post_udf(col)
+            col = _make_post()(col)
             dtype = out_dtype
 
     return col
@@ -303,6 +307,46 @@ def apply_subgraph_preprocessors(
                 if not dropped:
                     keep_rows.append({c: resource.get(c) for c in col_names})
             yield pd.DataFrame(keep_rows, columns=col_names)
+
+    return df.mapInPandas(_apply, schema=schema)
+
+
+def propagate_sg_pre_mutations(
+    df: DataFrame, wrappers: List[WrapperApplication]
+) -> DataFrame:
+    """Apply a rule's subgraph-preprocessor *mutations* to the stream WITHOUT
+    filtering, so later rules and the relationship pass observe them.
+
+    The reference shares one Resource object per row across all factories and
+    both passes (converter.py:204-207 returns the pickled processed resources
+    for pass 2), so in-place mutations persist — proven by
+    test_wrappers.py::test_subgraph_pre where the relationship sees
+    First='Changed' set by a NODE rule's preprocessor. A preprocessor
+    returning None skips only its own rule, earlier mutations in the chain
+    stay."""
+    pres = []
+    for w in wrappers:
+        wdef = registrar.get_wrapper(w.name)
+        if wdef.kind == registrar.SG_PRE:
+            pres.append((wdef.fn, tuple(w.static_args)))
+    if not pres:
+        return df
+
+    col_names = [f.name for f in df.schema.fields]
+    schema = df.schema
+
+    def _apply(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.to_dict("records"):
+                resource = dict(row)
+                for fn, sargs in pres:
+                    nxt = fn(resource, *sargs)
+                    if nxt is None:
+                        break
+                    resource = nxt
+                rows.append({c: resource.get(c) for c in col_names})
+            yield pd.DataFrame(rows, columns=col_names)
 
     return df.mapInPandas(_apply, schema=schema)
 

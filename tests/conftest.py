@@ -3,7 +3,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_TESTS)
+sys.path.insert(0, _REPO)
+# executor python workers must import the repo package AND the test modules
+# (user wrapper fns are pickled by reference)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, _TESTS, os.environ.get("PYTHONPATH", "")]
+)
 
 from pyspark.sql import SparkSession
 

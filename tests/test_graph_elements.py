@@ -60,20 +60,20 @@ def test_subgraph_algebra():
     sg1 = Subgraph([a, b], [r])
     sg2 = Subgraph([b, c])
     union = sg1 | sg2
-    assert union.nodes == {a, b, c} and union.relationships == {r}
+    assert set(union.nodes) == {a, b, c} and set(union.relationships) == {r}
     inter = sg1 & sg2
-    assert inter.nodes == {b} and not inter.relationships
+    assert set(inter.nodes) == {b} and not inter.relationships
     # endpoints of surviving relationships are auto-retained
     diff = sg1 - sg2
-    assert diff.nodes == {a, b} and diff.relationships == {r}
+    assert set(diff.nodes) == {a, b} and set(diff.relationships) == {r}
     sym = sg1 ^ sg2
-    assert sym.nodes == {a, b, c}  # b retained as endpoint of surviving r
+    assert set(sym.nodes) == {a, b, c}  # b retained as endpoint of surviving r
 
 
 def test_subgraph_auto_includes_endpoints():
     a, b = Node("A"), Node("B")
     sg = Subgraph([], [Relationship(a, "R", b)])
-    assert sg.nodes == {a, b}
+    assert set(sg.nodes) == {a, b}
 
 
 def test_subgraph_or_with_elements():
