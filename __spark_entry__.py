@@ -1,38 +1,496 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers the operator inventory of SURVEY.md §2 (names carry the
+operator IDs they exercise) plus the training-data operators (dedup /
+similarity / text analysis / multimodal). ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query; MinHash/SimHash/LSH-ANN and the
+multimodal stub are rows-only by nature (hash-seeded internals DuckDB can't
+reproduce).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [p for p in [_REPO, os.environ.get("PYTHONPATH", "")] if p]
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# KG-construction queries (the engine proper)
+# ---------------------------------------------------------------------------
+
+def _kg_nodes_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 scan, P1/P2/P4 projections, G1 node rule, A1 merge, K2 sink."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("customer"):
+    NODE("Customer") c:
+        + id = INT(customer.c_custkey)
+        - name = customer.c_name
+        - acctbal = FLOAT(customer.c_acctbal)
+        - mktsegment = customer.c_mktsegment
+"""
+    store = Converter(schema, [("customer", _read(spark, sf_dir, "customer"))])(spark)
+    return store.match_nodes("Customer").select("id", "name", "acctbal", "mktsegment")
+
+
+def _kg_nodes_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 merge-on-key with duplicate keys (one node per o_custkey)."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("orders"):
+    NODE("Buyer") b:
+        + id = INT(orders.o_custkey)
+"""
+    store = Converter(schema, [("orders", _read(spark, sf_dir, "orders"))])(spark)
+    return store.match_nodes("Buyer").select("id")
+
+
+def _kg_triples_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 identifier matchers (same-row, zero-join), A5 create, triples."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("orders"):
+    NODE("Customer") cust:
+        + id = INT(orders.o_custkey)
+    NODE("Order") order:
+        + id = INT(orders.o_orderkey)
+        - totalprice = FLOAT(orders.o_totalprice)
+    RELATIONSHIP(cust, "PLACED", order):
+"""
+    store = Converter(schema, [("orders", _read(spark, sf_dir, "orders"))])(spark)
+    return store.triples()
+
+
+def _kg_triples_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 MATCH lowered to broadcast hash joins against the node table."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("orders"):
+    NODE("Order") o:
+        + id = INT(orders.o_orderkey)
+
+ENTITY("part"):
+    NODE("Part") p:
+        + id = INT(part.p_partkey)
+
+ENTITY("lineitem"):
+    RELATIONSHIP(MATCH("Order", id = INT(lineitem.l_orderkey)), "CONTAINS", MATCH("Part", id = INT(lineitem.l_partkey))):
+        - qty = FLOAT(lineitem.l_quantity)
+"""
+    store = Converter(schema, [
+        ("orders", _read(spark, sf_dir, "orders")),
+        ("part", _read(spark, sf_dir, "part")),
+        ("lineitem", _read(spark, sf_dir, "lineitem")),
+    ])(spark)
+    return store.triples()
+
+
+def _kg_ghost_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 MERGE_RELATIONSHIPS: at most one edge per (src, type, dst)."""
+    from data2neo_spark import Converter
+
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    schema = """
+ENTITY("orders"):
+    NODE("Customer") c:
+        + id = INT(orders.o_custkey)
+    NODE("Year") y:
+        + y = INT(orders.o_year)
+    MERGE_RELATIONSHIPS(RELATIONSHIP(c, "BUYS_IN_YEAR", y)):
+"""
+    store = Converter(schema, [("orders", orders)])(spark)
+    return store.triples()
+
+
+def _kg_upsert_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/A1 upsert across two runs: second run overwrites properties."""
+    from data2neo_spark import Converter, GraphStore
+
+    schema = """
+ENTITY("customer"):
+    NODE("Customer") c:
+        + id = INT(customer.c_custkey)
+        - name = customer.c_name
+        - acctbal = FLOAT(customer.c_acctbal)
+"""
+    v1 = _read(spark, sf_dir, "customer")
+    v2 = v1.withColumn("c_name", F.upper(F.col("c_name")))
+    store = GraphStore(spark)
+    Converter(schema, [("customer", v1)], store=store)(spark)
+    Converter(schema, [("customer", v2)], store=store)(spark)
+    return store.match_nodes("Customer").select("id", "name", "acctbal")
+
+
+def _kg_props_cast_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 static values, P4/P5 casts (DATETIME passthrough on timestamps)."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("events"):
+    NODE("Event") e:
+        + id = INT(events.event_id)
+        - ts = DATETIME(events.ts)
+        - value = FLOAT(events.value)
+        - etype = events.event_type
+        - src = "events"
+"""
+    store = Converter(schema, [("events", _read(spark, sf_dir, "events"))])(spark)
+    return store.match_nodes("Event").select(
+        "id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value", "etype", "src",
+    )
+
+
+def _kg_webtext_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule slice over the documents corpus: dictionary-based mention
+    detection + entity linking as a broadcast join, triples out (M6)."""
+    from data2neo_spark.pipeline.webtext import mention_triples
+
+    return mention_triples(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# training-data operator queries
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    from data2neo_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_read(spark, sf_dir, "documents"), "doc_id")
+
+
+def _dedup_ngram(spark, sf_dir):
+    from data2neo_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.1, max_id=300
+    )
+
+
+def _dedup_minhash(spark, sf_dir):
+    from data2neo_spark.operators.dedup import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(
+        _read(spark, sf_dir, "documents"), "doc_id", threshold=0.2,
+        num_hashes=64, bands=16,
+    )
+
+
+def _dedup_simhash(spark, sf_dir):
+    from data2neo_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), "doc_id", max_hamming=8
+    )
+
+
+def _dedup_embedding(spark, sf_dir):
+    from data2neo_spark.operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.35, max_id=300
+    )
+
+
+def _sim_topk(spark, sf_dir):
+    from data2neo_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_max_id=5, k=10,
+    )
+
+
+def _sim_ann(spark, sf_dir):
+    from data2neo_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, query_max_id=5, k=10, n_planes=8,
+    )
+
+
+def _text_quality(spark, sf_dir):
+    from data2neo_spark.operators.text import with_quality_features
+
+    return with_quality_features(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_calc", "n_words", "avg_word_len", "digit_ratio"
+    )
+
+
+def _text_tokens(spark, sf_dir):
+    from data2neo_spark.operators.text import with_token_count
+
+    return with_token_count(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "re_tokens"
+    )
+
+
+def _text_langid(spark, sf_dir):
+    from data2neo_spark.operators.text import with_langid
+
+    return with_langid(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred"
+    )
+
+
+def _text_fingerprint(spark, sf_dir):
+    from data2neo_spark.operators.text import with_fingerprint
+
+    return with_fingerprint(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _multimodal_features(spark, sf_dir):
+    from data2neo_spark.operators.multimodal import synth_media, extract_features
+
+    media = synth_media(spark, n=200)
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
+
+
+# ---------------------------------------------------------------------------
+# classic aggregations (bench headliners)
+# ---------------------------------------------------------------------------
+
+def _agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style. Decimal sums → bit-exact across engines & orders."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _window_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction with MATCH joins at sf0.001."""
+    return _kg_triples_match(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_nodes_customer": _kg_nodes_customer,
+        "kg_nodes_dedup": _kg_nodes_dedup,
+        "kg_triples_identifier": _kg_triples_identifier,
+        "kg_triples_match": _kg_triples_match,
+        "kg_ghost_merge": _kg_ghost_merge,
+        "kg_upsert_update": _kg_upsert_update,
+        "kg_props_cast_static": _kg_props_cast_static,
+        "kg_webtext_mentions": _kg_webtext_mentions,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "sim_topk": _sim_topk,
+        "sim_ann": _sim_ann,
+        "text_quality": _text_quality,
+        "text_tokens": _text_tokens,
+        "text_langid": _text_langid,
+        "text_fingerprint": _text_fingerprint,
+        "multimodal_features": _multimodal_features,
+        "agg_pricing_summary": _agg_pricing_summary,
+        "window_events": _window_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LANG_CASE = """
+CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+     WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+     WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+     WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+     ELSE 'es' END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    occ = lambda w: f"(len(string_split(' ' || text || ' ', ' {w} ')) - 1)"
+    score = lambda ws: " + ".join(occ(w) for w in ws)
+    shingles = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   unnest(range(len(string_split(text, ' ')))) AS pos
+            FROM documents WHERE doc_id < 300
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 2) OVER w IS NOT NULL
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
     """
-    return {}
+    cos_pairs = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 300
+        ), n AS (
+            SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(list_zip(a.e, b.e),
+                     p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.35
+    """
+    sim_topk = """
+        WITH n AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(list_zip(q.e, c.e),
+                         p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) AS cos
+            FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+    """
+    webtext_dict = "'spark','join','window','batch','stream','table','query','shuffle'"
+    return {
+        "kg_nodes_customer": (
+            "SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, "
+            "c_mktsegment AS mktsegment FROM customer"
+        ),
+        "kg_nodes_dedup": "SELECT DISTINCT o_custkey AS id FROM orders",
+        "kg_triples_identifier": (
+            "SELECT 'Customer:' || CAST(o_custkey AS VARCHAR) AS subj, "
+            "'PLACED' AS pred, 'Order:' || CAST(o_orderkey AS VARCHAR) AS obj "
+            "FROM orders"
+        ),
+        "kg_triples_match": (
+            "SELECT 'Order:' || CAST(l_orderkey AS VARCHAR) AS subj, "
+            "'CONTAINS' AS pred, 'Part:' || CAST(l_partkey AS VARCHAR) AS obj "
+            "FROM lineitem"
+        ),
+        "kg_ghost_merge": (
+            "SELECT DISTINCT 'Customer:' || CAST(o_custkey AS VARCHAR) AS subj, "
+            "'BUYS_IN_YEAR' AS pred, "
+            "'Year:' || CAST(year(o_orderdate) AS VARCHAR) AS obj FROM orders"
+        ),
+        "kg_upsert_update": (
+            "SELECT c_custkey AS id, upper(c_name) AS name, c_acctbal AS acctbal "
+            "FROM customer"
+        ),
+        "kg_props_cast_static": (
+            "SELECT event_id AS id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, "
+            "value, event_type AS etype, 'events' AS src FROM events"
+        ),
+        "kg_webtext_mentions": (
+            "SELECT DISTINCT 'Doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+            "'MENTIONS' AS pred, 'Term:' || word AS obj "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            f"FROM documents) WHERE word IN ({webtext_dict})"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, min(doc_id) AS keeper_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_ngram": shingles,
+        "dedup_embedding": cos_pairs,
+        "sim_topk": sim_topk,
+        "text_quality": (
+            "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_calc, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "round((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0 "
+            "      / len(string_split(text, ' ')), 4) AS avg_word_len, "
+            "round((len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 "
+            "      / len(text), 4) AS digit_ratio "
+            "FROM documents"
+        ),
+        "text_tokens": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens "
+            "FROM documents"
+        ),
+        "text_langid": (
+            "SELECT doc_id, score_en, score_de, score_fr, score_es, "
+            f"{_LANG_CASE} AS lang_pred FROM ("
+            f"SELECT doc_id, CAST({score(['the','and','of'])} AS BIGINT) AS score_en, "
+            f"CAST({score(['der','die','und'])} AS BIGINT) AS score_de, "
+            f"CAST({score(['le','la','et'])} AS BIGINT) AS score_fr, "
+            f"CAST({score(['el','los','que'])} AS BIGINT) AS score_es "
+            "FROM documents)"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS fingerprint FROM documents"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '2002-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "window_events": (
+            "SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS hour, count(*) AS n_events, "
+            "sum(CAST(value AS DECIMAL(18,4))) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+    }

@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Extra keys: per-workload throughput (docs/sec over the documents table for
+text/dedup ops, triples/sec for KG materializations) — the BASELINE.json
+north-rule metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("data2neo_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings = {}
+    counts = {}
+    t_total0 = time.time()
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            counts[name] = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # never break the bench line
+            timings[name] = -1.0
+            counts[name] = -1
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+    total = round(time.time() - t_total0, 3)
+
+    # north-rule throughputs
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    kg_secs = sum(v for k, v in timings.items() if k.startswith("kg_") and v > 0)
+    kg_triples = sum(v for k, v in counts.items() if k.startswith("kg_triples") and v > 0)
+    text_secs = sum(
+        v for k, v in timings.items()
+        if k.startswith(("text_", "dedup_")) and v > 0
+    )
+    out = {
+        "metric": "total wall time, 22 headline queries (KG construct + dedup + similarity + text)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "rows": counts,
+        "triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,
+        "docs_per_sec_textops": round(n_docs * 6 / text_secs, 1) if text_secs else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

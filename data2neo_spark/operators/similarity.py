@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set,
+  one scan over the corpus, per-query window top-k. The JVM-side
+  zip_with/aggregate dot product keeps it UDF-free.
+* ``lsh_ann_topk`` — random-hyperplane LSH: seeded deterministic planes,
+  signature buckets, candidates re-ranked exactly. The scale path — the
+  corpus shuffles once on bucket, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
+    return df.withColumn(
+        out,
+        F.sqrt(
+            F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors for every vector with id < query_max_id.
+
+    Returns (query_id, neighbor_id, cos) — cos rounded to 4dp, self-pairs
+    excluded. Queries are broadcast; the corpus is scanned once.
+    """
+    queries = corpus.where(F.col(id_col) < query_max_id)
+    qn = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_norm").alias("qnorm"),
+    )
+    cn = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_norm").alias("cnorm"),
+    )
+    scored = (
+        cn.join(F.broadcast(qn), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
+                  seed: int = 42, out: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature: n_planes sign bits packed into a long."""
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    return df.withColumn(out, sig)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_max_id: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, re-ranked exactly.
+
+    At 100TB scale the bucket join replaces the brute-force crossJoin; recall
+    is tunable via n_planes (fewer planes → bigger buckets → higher recall).
+    """
+    sig = lsh_signature(corpus, vec_col, dim, n_planes, seed)
+    queries = sig.where(F.col(id_col) < query_max_id)
+    qn = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("_norm").alias("qnorm"), F.col("bucket"),
+    )
+    cn = with_norm(sig, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("_norm").alias("cnorm"), F.col("bucket"),
+    )
+    scored = (
+        cn.join(F.broadcast(qn), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

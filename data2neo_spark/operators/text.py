@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Column expressions (JVM-side, whole-stage
+codegen); no python UDFs. Each operator is designed to be SQL-reproducible so
+the DuckDB oracle can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language-marker stopwords: occurrences of " word " in the text.
+# literal, SQL-reproducible heuristic (no external models)
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+}
+
+
+def _occurrences(text: Column, token: str) -> Column:
+    """Number of non-overlapping occurrences of ' token ' in ' text '."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return F.size(F.split(padded, f" {token} ")) - F.lit(1)
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/word statistics used for quality filtering.
+
+    Assumes single-space tokenization (the synthetic corpus guarantees it);
+    all expressions have exact DuckDB equivalents.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    non_space = n_chars - (n_words - F.lit(1))
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "avg_word_len",
+            F.round(non_space.cast("double") / n_words, 4),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                (n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double")
+                / n_chars,
+                4,
+            ),
+        )
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + regex ("BPE-ish" alnum-run) token counts."""
+    text = F.col(text_col)
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(text, " ")).cast("long")
+    ).withColumn(
+        "re_tokens",
+        F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+"), 0)).cast("long"),
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-count language ID (n-gram-heuristic class).
+
+    Scores each language by marker-word occurrences; ties break in fixed
+    en>de>fr>es order; zero hits → 'und' (undetermined).
+    """
+    text = F.col(text_col)
+    scores = {
+        lang: sum([_occurrences(text, w) for w in words], F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "de", "fr", "es"]:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    out = df
+    for lang, score in scores.items():
+        out = out.withColumn(f"score_{lang}", score.cast("long"))
+    return out.withColumn("lang_pred", expr)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def tokens_with_positions(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Explode text into (id, pos, word) rows — shared shingling primitive."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Built with a lateral transform over the word array — one projection, no
+    self-joins; identical results to a windowed lead() formulation in SQL.
+    """
+    words = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.where(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
