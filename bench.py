@@ -29,9 +29,11 @@ def build_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("data2neo_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 8, 64)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -64,6 +64,7 @@ class Converter:
         serialize: bool = False,
         num_workers: Optional[int] = None,
         batch_size: Optional[int] = None,
+        run_id: int = 0,
     ) -> None:
         if serialize and num_workers is not None and num_workers > 1:
             raise ValueError(
@@ -78,6 +79,12 @@ class Converter:
         self.serialize = serialize
         self._num_workers = num_workers
         self._batch_size = batch_size
+        # run_id namespaces the deterministic sequence used for surrogate ids
+        # of CREATE-mode elements: re-running the SAME run_id is idempotent
+        # (checkpoint/resume semantics, north rule); appending genuinely new
+        # batches should use a fresh run_id so parallel create-edges from
+        # different runs never collide.
+        self.run_id = run_id
 
     # --------------------------------------------------------------------
 
@@ -93,9 +100,9 @@ class Converter:
         for i, (etype, df) in enumerate(pairs):
             if self.serialize:
                 df = df.coalesce(1)
-            df = df.withColumn(L.SEQ_SRC, F.lit(i).cast("long")).withColumn(
-                L.SEQ_ROW, F.monotonically_increasing_id()
-            )
+            df = df.withColumn(
+                L.SEQ_SRC, F.lit(self.run_id * 1_000_000 + i).cast("long")
+            ).withColumn(L.SEQ_ROW, F.monotonically_increasing_id())
             out.append((etype, df))
         return out
 
@@ -112,7 +119,8 @@ class Converter:
 
         # ---------------- pass 1: nodes --------------------------------
         t0 = time.time()
-        node_parts: List[DataFrame] = []
+        node_parts: List[DataFrame] = []          # (df, needs_merge) pairs
+        node_merge_flags: List[bool] = []
         dyn_edge_parts: List[DataFrame] = []
         enriched: List[Tuple[str, DataFrame]] = []
         for etype, df in sources:
@@ -127,10 +135,13 @@ class Converter:
                         long_df = dyn.lower_node_rule_dynamic(current, rule).persist()
                         nodes_part, extra_edges = dyn.dynamic_to_canonical(long_df, rule)
                         node_parts.append(nodes_part)
+                        # dynamic rules may merge via wrapper-assigned pks
+                        node_merge_flags.append(True)
                         if extra_edges is not None:
                             dyn_edge_parts.append(extra_edges)
                     else:
                         node_parts.append(L.lower_node_rule(current, rule))
+                        node_merge_flags.append(rule.primary_key is not None)
                     # preprocessor mutations persist for later rules + pass 2
                     current = L.propagate_sg_pre_mutations(current, rule.wrappers)
             # attach same-row identifier columns (supplies) for pass 2
@@ -148,8 +159,24 @@ class Converter:
                 existing = store.nodes.withColumn(
                     L.SEQ_SRC, F.lit(-1).cast("long")
                 ).withColumn(L.SEQ_ROW, F.col(L.SEQ_ROW))
-            union = union_wide(([existing] if existing is not None else []) + node_parts)
-            merged = L.merge_elements(union, L.NODE_META, L.UID)
+            if existing is None:
+                # shuffle-avoidance: CREATE-mode rows (no pk) have unique
+                # uids by construction — on a fresh store they bypass the
+                # merge aggregation entirely (A2). Only merge-mode rows pay
+                # the groupBy shuffle. With an existing store everything
+                # participates (resume-idempotence dedup by uid).
+                merge_parts = [p for p, m in zip(node_parts, node_merge_flags) if m]
+                create_parts = [p for p, m in zip(node_parts, node_merge_flags) if not m]
+                pieces = []
+                if merge_parts:
+                    pieces.append(
+                        L.merge_elements(union_wide(merge_parts), L.NODE_META, L.UID)
+                    )
+                pieces.extend(create_parts)
+                merged = union_wide(pieces)
+            else:
+                union = union_wide([existing] + node_parts)
+                merged = L.merge_elements(union, L.NODE_META, L.UID)
             store.set_nodes(merged)
             store.log_stage(
                 "nodes", n_nodes=store.node_count, wall_s=round(time.time() - t0, 3)
@@ -161,6 +188,7 @@ class Converter:
             store.nodes is not None and store.node_count <= BROADCAST_NODE_LIMIT
         )
         edge_parts: List[DataFrame] = list(dyn_edge_parts)
+        edge_merge_flags: List[bool] = [True] * len(dyn_edge_parts)
         for etype, df in enriched:
             rules = self.schema.entities.get(etype)
             if rules is None or etype not in self.schema.relationship_mask:
@@ -169,18 +197,33 @@ class Converter:
                 part = L.lower_rel_rule(df, rule, store.nodes, broadcast_nodes)
                 part = dyn.apply_rel_postprocessors_dynamic(part, rule)
                 edge_parts.append(part)
+                edge_merge_flags.append(
+                    rule.primary_key is not None or rule.ghost_primary_key
+                )
 
         if edge_parts or store.edges is not None:
-            existing_e = None
-            if store.edges is not None:
+            if store.edges is None:
+                # same shuffle-avoidance as nodes: CREATE-mode edges (A5,
+                # parallel rels) append without the dedup shuffle
+                merge_parts = [p for p, m in zip(edge_parts, edge_merge_flags) if m]
+                create_parts = [p for p, m in zip(edge_parts, edge_merge_flags) if not m]
+                pieces = []
+                if merge_parts:
+                    pieces.append(
+                        L.merge_elements(union_wide(merge_parts), L.EDGE_META, L.EID)
+                    )
+                pieces.extend(create_parts)
+                merged_e = union_wide(pieces)
+            else:
                 existing_e = store.edges.withColumn(
                     L.SEQ_SRC, F.lit(-1).cast("long")
                 )
-            union_e = union_wide(
-                ([existing_e] if existing_e is not None else []) + edge_parts
-            )
-            if union_e is not None:
-                merged_e = L.merge_elements(union_e, L.EDGE_META, L.EID)
+                union_e = union_wide([existing_e] + edge_parts)
+                merged_e = (
+                    L.merge_elements(union_e, L.EDGE_META, L.EID)
+                    if union_e is not None else None
+                )
+            if merged_e is not None:
                 store.set_edges(merged_e)
                 store.log_stage(
                     "edges",
