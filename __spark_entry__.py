@@ -232,6 +232,15 @@ def _sim_ann(spark, sf_dir):
     )
 
 
+def _sim_ivf(spark, sf_dir):
+    from data2neo_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, query_max_id=5, k=10, n_cells=8, n_probe=3,
+    )
+
+
 def _text_quality(spark, sf_dir):
     from data2neo_spark.operators.text import with_quality_features
 
@@ -330,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "sim_topk": _sim_topk,
         "sim_ann": _sim_ann,
+        "sim_ivf": _sim_ivf,
         "text_quality": _text_quality,
         "text_tokens": _text_tokens,
         "text_langid": _text_langid,

@@ -76,6 +76,109 @@ def cosine_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_max_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means cells, probe the n_probe
+    nearest cells per query, exact re-rank inside them.
+
+    Centroids are trained driver-side on a bounded deterministic sample
+    (numpy Lloyd iterations — the sample is small by construction, the
+    assignment pass over the full corpus is distributed Column math). At
+    100 TB the corpus side shuffles ONCE on cell id; queries broadcast.
+    """
+    import numpy as np
+
+    sample = np.array(
+        corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype="float64",
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    with_d = corpus.select("*", *[
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in cen]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_d{ci}")
+        for ci, cen in enumerate(centroids)
+    ])
+    dist_arr = F.array(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    assigned = with_d.withColumn(
+        "_cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        dist_arr,
+                        lambda d: F.struct(d.alias("d")),
+                    )
+                ),
+                lambda s: F.array_position(dist_arr, s.getField("d")),
+            ),
+            1,
+            n_probe,
+        ),
+    ).drop(*[f"_d{i}" for i in range(len(centroids))])
+
+    # corpus side: primary cell only; query side: probe n_probe cells
+    cn = with_norm(
+        assigned.withColumn("cell", F.element_at(F.col("_cells"), 1)).drop("_cells"),
+        vec_col,
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("_norm").alias("cnorm"), "cell",
+    )
+    qn = with_norm(
+        assigned.where(F.col(id_col) < query_max_id)
+        .select(F.col(id_col), F.col(vec_col), F.explode("_cells").alias("cell")),
+        vec_col,
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("_norm").alias("qnorm"), "cell",
+    )
+    scored = (
+        cn.join(F.broadcast(qn), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 4))
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

@@ -1,0 +1,148 @@
+"""Structured Streaming ingest for the webtext KG pipeline.
+
+The reference is a batch two-pass pipeline with no streaming surface
+(SURVEY.md §2.9); this module is the engine's scale-path extension: pages
+arrive as a stream (file source in production = new parquet files landing in
+the crawl directory), flow through the SAME extraction/mention/link column
+expressions as the batch path, and emit triples continuously. Late data is
+handled with event-time watermarks on ``warc_ts``; a custom stateful
+sessionization operator shows the ``applyInPandasWithState`` surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..pipeline.webtext import extract_pages, detect_mentions, link_entities
+
+
+def stream_pages_to_triples(pages_stream: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Streaming pages → (subj, pred, obj) triples.
+
+    Uses the zero-shuffle array strategy (stateless, so the stream needs no
+    state store at all) — every micro-batch is a pure map. The caller picks
+    the sink (``writeStream.format("parquet"|"memory")...``).
+    """
+    docs = extract_pages(pages_stream)
+    mentions = detect_mentions(docs, entity_dict, strategy="array")
+    linked = link_entities(mentions, assume_unambiguous=True)
+    return linked.select(
+        F.concat(F.lit("Page:"), F.col("url")).alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.concat(F.lit("Entity:"), F.col("canonical")).alias("obj"),
+    )
+
+
+def stream_windowed_mention_counts(
+    pages_stream: DataFrame,
+    entity_dict: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window per-entity mention counts with a watermark on the
+    crawl timestamp — late pages beyond the watermark are dropped, state is
+    bounded (the 100 TB requirement: state size ∝ entities × open windows,
+    not corpus size)."""
+    docs = pages_stream.select("url", "warc_ts", "text").withWatermark(
+        "warc_ts", watermark
+    )
+    # inline zero-shuffle mention detection carrying the event-time column
+    # (a stream-stream self-join to re-attach warc_ts would need two
+    # watermarks; carrying the column through the explode avoids it)
+    surfaces = sorted(r[0] for r in entity_dict.select("surface").collect())
+    surf_arr = F.array(*[F.lit(s) for s in surfaces])
+    words = F.split(F.col("text"), " ")
+    surf = docs.select(
+        "url",
+        "warc_ts",
+        F.explode(F.array_intersect(F.array_distinct(words), surf_arr)).alias("surface"),
+    )
+    enriched = surf.join(F.broadcast(entity_dict), "surface")
+    return (
+        enriched.groupBy(
+            F.window("warc_ts", window).alias("win"),
+            F.col("canonical"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "canonical",
+            "n_mentions",
+        )
+    )
+
+
+_SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("closed", T.BooleanType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+
+def _make_session_fn(timeout_ms: int):
+    def _session_fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Accumulate per-user event counts/values; with a timeout
+        configured, close (emit + drop) the session when it fires."""
+        (user_id,) = key
+        if timeout_ms and state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "total_value": total,
+                  "closed": True}]
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total,
+              "closed": False}]
+        )
+
+    return _session_fn
+
+
+def stream_sessionize(events_stream: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Arbitrary-stateful sessionization over an events stream
+    (``applyInPandasWithState`` — the custom-stateful-operator surface).
+
+    ``timeout_ms=0`` (default) emits running per-user aggregates with no
+    processing-time timeout — deterministic and drainable with
+    ``processAllAvailable`` (a ProcessingTimeTimeout keeps scheduling empty
+    micro-batches to fire timers, so drain-style tests/backfills never
+    terminate with one). Pass a positive timeout for live sessions that
+    close after inactivity."""
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(timeout_ms),
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

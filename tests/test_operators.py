@@ -1,0 +1,109 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal) on constructed inputs with known answers."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data2neo_spark.operators import dedup, similarity, text, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"), # near dup
+        (3, "completely different words appear in this text body"),
+        (4, "der hund und die katze und der vogel"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(spark, docs):
+    got = {
+        (r["keeper_id"], r["n_dups"])
+        for r in dedup.exact_duplicates(docs, "doc_id").collect()
+    }
+    assert (0, 2) in got            # docs 0 and 1 collapse
+    assert len(got) == 4            # 4 distinct texts
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5).collect()
+    d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert d[(0, 1)] == 1.0         # identical
+    assert (0, 2) in d and 0.5 <= d[(0, 2)] < 1.0
+    assert (0, 3) not in d
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, docs):
+    pairs = dedup.minhash_lsh_duplicates(
+        docs, "doc_id", threshold=0.5, num_hashes=32, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+
+
+def test_simhash_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    assert sh[0] == sh[1]           # identical text → identical simhash
+    pairs = dedup.simhash_near_duplicates(docs, "doc_id", max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(0, 1)] == 0
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_duplicates(df, "vec_id", threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [1.0, 0.1, 0.0, 0.0]))   # closest to vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, "vec_id", "embedding", query_max_id=1, k=1).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 4
+
+
+def test_lsh_and_ivf_run(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", query_max_id=3, k=5)
+    ivf = similarity.ivf_ann_topk(
+        emb, "vec_id", "embedding", dim=64, query_max_id=3, k=5,
+        n_cells=4, n_probe=4,   # probe all cells ⇒ recall 1.0
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert got == want
+
+
+def test_text_features(spark, docs):
+    q = {r["doc_id"]: r for r in text.with_quality_features(docs).collect()}
+    assert q[0]["n_words"] == 9
+    langs = {r["doc_id"]: r["lang_pred"] for r in text.with_langid(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] == 64 for r in feats)
+    # deterministic across runs
+    again = {r["media_id"]: r["sha1"] for r in
+             multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()}
+    assert again == {r["media_id"]: r["sha1"] for r in feats}
+    # the real-decode path is an explicit stub
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake_feature=False).collect()

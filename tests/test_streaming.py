@@ -1,0 +1,134 @@
+"""Structured Streaming tests: file-source pages → triples, watermarked
+windowed mention counts, applyInPandasWithState sessionization."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from data2neo_spark.sources.pages import synth_pages, entity_dictionary
+from data2neo_spark.streaming import (
+    stream_pages_to_triples,
+    stream_windowed_mention_counts,
+    stream_sessionize,
+)
+
+
+def _await_rows(spark, query, table, min_rows, timeout_s=60):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        query.processAllAvailable()
+        n = spark.sql(f"SELECT count(*) FROM {table}").collect()[0][0]
+        if n >= min_rows:
+            return n
+        time.sleep(0.5)
+    return spark.sql(f"SELECT count(*) FROM {table}").collect()[0][0]
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    synth_pages(spark, 500, n_entities=50, seed=42).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_pages_to_triples(spark, pages_dir):
+    edict = entity_dictionary(spark, 50, seed=42)
+    batch_pages = spark.read.parquet(pages_dir)
+    schema = batch_pages.schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    assert stream.isStreaming
+    triples = stream_pages_to_triples(stream, edict)
+    q = (
+        triples.writeStream.format("memory")
+        .queryName("triples_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        from data2neo_spark.pipeline.webtext import pages_to_triples
+
+        expected = pages_to_triples(batch_pages, edict).count()
+        n = _await_rows(spark, q, "triples_sink", expected)
+        # streaming output == batch output, row for row
+        got = {tuple(r) for r in spark.sql("SELECT * FROM triples_sink").collect()}
+        want = {tuple(r) for r in pages_to_triples(batch_pages, edict).collect()}
+        assert n == expected and got == want
+    finally:
+        q.stop()
+
+
+def test_stream_windowed_counts(spark, pages_dir):
+    edict = entity_dictionary(spark, 50, seed=42)
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    counts = stream_windowed_mention_counts(stream, edict, window="1 minute")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-closed windows; the synthetic
+        # corpus spans ~8 minutes of warc_ts with a 30-min watermark, so
+        # assert on state machinery instead: query runs, no error, and the
+        # update-mode equivalent would hold rows. Re-run with complete mode:
+        q.stop()
+        q2 = (
+            counts.writeStream.format("memory")
+            .queryName("win_sink2")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            rows = spark.sql(
+                "SELECT canonical, sum(n_mentions) AS n FROM win_sink2 GROUP BY canonical"
+            ).collect()
+            assert len(rows) > 0
+            total = sum(r["n"] for r in rows)
+            # every page contributes its distinct mentions
+            from data2neo_spark.pipeline.webtext import extract_pages, detect_mentions
+
+            batch = detect_mentions(
+                extract_pages(spark.read.parquet(pages_dir)), edict, count_hits=False
+            ).count()
+            assert total == batch
+        finally:
+            q2.stop()
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def test_stream_sessionize(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = "/tmp/events_stream_test"
+    ev.limit(2000).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    sessions = stream_sessionize(stream.select("user_id", "value"))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM sess_sink GROUP BY user_id"
+        ).collect()
+        assert len(rows) > 0
+        got = {r["user_id"]: r["n"] for r in rows}
+        expected = {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(d).groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
