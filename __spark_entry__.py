@@ -163,6 +163,26 @@ ENTITY("events"):
     )
 
 
+def _kg_dynamic_rel_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 dynamic relationship type (type from a row value) + A4 ghost merge:
+    one edge per (user, event_type, day)."""
+    from data2neo_spark import Converter
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    schema = """
+ENTITY("events"):
+    NODE("User") u:
+        + uid = INT(events.user_id)
+    NODE("Day") d:
+        + day = events.day
+    MERGE_RELATIONSHIPS(RELATIONSHIP(u, events.event_type, d)):
+"""
+    store = Converter(schema, [("events", events)])(spark)
+    return store.triples()
+
+
 def _kg_webtext_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule slice over the documents corpus: dictionary-based mention
     detection + entity linking as a broadcast join, triples out (M6)."""
@@ -331,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ghost_merge": _kg_ghost_merge,
         "kg_upsert_update": _kg_upsert_update,
         "kg_props_cast_static": _kg_props_cast_static,
+        "kg_dynamic_rel_type": _kg_dynamic_rel_type,
         "kg_webtext_mentions": _kg_webtext_mentions,
         "dedup_exact": _dedup_exact,
         "dedup_ngram": _dedup_ngram,
@@ -448,6 +469,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_props_cast_static": (
             "SELECT event_id AS id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, "
             "value, event_type AS etype, 'events' AS src FROM events"
+        ),
+        "kg_dynamic_rel_type": (
+            "SELECT DISTINCT 'User:' || CAST(user_id AS VARCHAR) AS subj, "
+            "event_type AS pred, "
+            "'Day:' || strftime(ts, '%Y-%m-%d') AS obj FROM events"
         ),
         "kg_webtext_mentions": (
             "SELECT DISTINCT 'Doc:' || CAST(doc_id AS VARCHAR) AS subj, "

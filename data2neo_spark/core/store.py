@@ -76,6 +76,24 @@ class GraphStore:
             df = self._materialize(df, "edges")
         self._edges = df
 
+    def _partition_lineage(self, df: DataFrame, name: str) -> None:
+        """Per-partition row counts of a materialized table → lineage dir
+        (north rule: per-partition lineage + metrics for idempotent resume —
+        a resumed run can diff these against a fresh count to spot loss)."""
+        if self.path is None:
+            return
+        stats = (
+            df.groupBy(F.spark_partition_id().alias("partition"))
+            .count()
+            .collect()
+        )
+        lineage_dir = os.path.join(self.path, "_lineage")
+        os.makedirs(lineage_dir, exist_ok=True)
+        with open(os.path.join(lineage_dir, f"partitions_{name}.jsonl"), "w") as fh:
+            for row in sorted(stats, key=lambda r: r["partition"]):
+                fh.write(json.dumps({"table": name, "partition": row["partition"],
+                                     "rows": row["count"], "ts": time.time()}) + "\n")
+
     def _materialize(self, df: DataFrame, name: str) -> DataFrame:
         if self.path is not None:
             target = os.path.join(self.path, name)
@@ -90,7 +108,9 @@ class GraphStore:
             if os.path.exists(old):
                 import shutil
                 shutil.rmtree(old, ignore_errors=True)
-            return self.spark.read.parquet(target)
+            out = self.spark.read.parquet(target)
+            self._partition_lineage(out, name)
+            return out
         df = df.persist()
         df.count()
         return df

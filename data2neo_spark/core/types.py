@@ -50,7 +50,8 @@ def cast_col(col: Column, from_dtype: T.DataType, to_dtype: T.DataType) -> Colum
         return col
     if isinstance(to_dtype, T.StringType):
         return python_str_column(col, from_dtype)
-    return col.cast(to_dtype)
+    # try_cast: widening unions must never fail a task under ANSI mode
+    return col.try_cast(to_dtype)
 
 
 def union_wide(dfs: List[DataFrame]) -> Optional[DataFrame]:

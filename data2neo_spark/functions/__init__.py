@@ -149,11 +149,14 @@ def DATE(attribute: Attribute, format_string: str = "%Y-%m-%dT%H:%M:%S") -> Attr
 # --------------------------------------------------------------------------
 
 def _int_col(col: Column, dtype: T.DataType) -> Column:
-    return col.cast("long")
+    # try_cast: NaN / overflow / unparseable → null (property absent) instead
+    # of an ANSI-mode task failure; mirrors the reference dropping attributes
+    # whose factory returns None
+    return col.try_cast("long")
 
 
 def _float_col(col: Column, dtype: T.DataType) -> Column:
-    return col.cast("double")
+    return col.try_cast("double")
 
 
 def _datetime_col(col: Column, dtype: T.DataType, fmt: str = "%Y-%m-%dT%H:%M:%S") -> Column:

@@ -1,0 +1,122 @@
+"""MATCH matcher semantics, re-targeted from the reference
+(tests/unit/core/test_matcher.py:71-142) through RELATIONSHIP rules.
+Node fixture mirrors the reference: (:TestLabel:A {id:1, id2:10}),
+(:TestLabel:B {id:2}), (:OtherLabel {id:1})."""
+
+import pandas as pd
+import pytest
+
+from data2neo_spark import Converter
+
+NODE_SCHEMA = """
+ENTITY("tl"):
+    NODE("TestLabel", tl.sub) n:
+        + id = INT(tl.id)
+        - id2 = INT(tl.id2)
+
+ENTITY("ol"):
+    NODE("OtherLabel") n:
+        + id = INT(ol.id)
+"""
+
+TL = pd.DataFrame({"id": [1, 2], "sub": ["A", "B"], "id2": [10, None]})
+OL = pd.DataFrame({"id": [1]})
+PROBE = pd.DataFrame({"probe": [0], "id": [1], "id2": [10], "Label": ["TestLabel"],
+                      "missing": pd.array([None], dtype="float64")})
+
+
+def run_match(spark, match_expr, probe=PROBE):
+    schema = NODE_SCHEMA + f"""
+ENTITY("probe"):
+    NODE("Probe") p:
+        + probe = INT(probe.probe)
+    RELATIONSHIP(p, "hits", {match_expr}):
+"""
+    store = Converter(schema, [
+        ("tl", spark.createDataFrame(TL)),
+        ("ol", spark.createDataFrame(OL)),
+        ("probe", spark.createDataFrame(probe)),
+    ])(spark)
+    edges = store.match_relationships("hits")
+    return sorted(r["_dst_key"] for r in edges.collect())
+
+
+def test_label_only_matches_all_with_label(spark):
+    # all TestLabel nodes (ids 1 and 2), not the OtherLabel node
+    assert run_match(spark, 'MATCH("TestLabel")') == ["1", "2"]
+
+
+def test_two_labels_subset(spark):
+    assert run_match(spark, 'MATCH("TestLabel", "A")') == ["1"]
+
+
+def test_label_with_condition(spark):
+    assert run_match(spark, 'MATCH("TestLabel", id = INT(probe.id))') == ["1"]
+
+
+def test_multiple_conditions(spark):
+    assert run_match(
+        spark, 'MATCH("TestLabel", id = INT(probe.id), id2 = INT(probe.id2))'
+    ) == ["1"]
+
+
+def test_no_match(spark):
+    probe = PROBE.assign(id=[4])
+    assert run_match(spark, 'MATCH("TestLabel", id = INT(probe.id))', probe) == []
+
+
+def test_dynamic_label(spark):
+    assert run_match(spark, "MATCH(probe.Label)") == ["1", "2"]
+
+
+def test_dynamic_label_with_condition(spark):
+    assert run_match(spark, "MATCH(probe.Label, id = INT(probe.id))") == ["1"]
+
+
+def test_condition_on_unknown_property_matches_nothing(spark):
+    assert run_match(spark, 'MATCH("TestLabel", nosuchprop = 5)') == []
+
+
+def test_null_condition_matches_nothing(spark):
+    """J3: a null condition value (wrapper-suppressed) matches nothing."""
+    assert run_match(spark, 'MATCH("TestLabel", id = INT(probe.missing))') == []
+
+
+def test_dependency_label_union_one_type(spark):
+    """test_dependency.py:27-41: two NODE rules on one type merge into one
+    node with the union of labels."""
+    schema = """
+ENTITY("Entity"):
+    NODE("Entity", "FirstLabel"):
+        + id = INT(Entity.id)
+
+    NODE("Entity", "AnotherLabel"):
+        + id = INT(Entity.id)
+"""
+    store = Converter(
+        schema, [("Entity", spark.createDataFrame(pd.DataFrame({"id": [1] * 1000})))]
+    )(spark)
+    rows = store.nodes.collect()
+    assert len(rows) == 1
+    assert set(rows[0]["_labels"]) == {"Entity", "FirstLabel", "AnotherLabel"}
+
+
+def test_dependency_label_union_two_types(spark):
+    """test_dependency.py:44-64: same across two resource types."""
+    schema = """
+ENTITY("Entity"):
+    NODE("Entity", "FirstLabel"):
+        + id = INT(Entity.id)
+
+ENTITY("Other"):
+    NODE("Entity", "AnotherLabel"):
+        + id = INT(Entity.id)
+"""
+    pdf = pd.DataFrame({"id": [1] * 1000})
+    store = Converter(schema, [
+        ("Entity", spark.createDataFrame(pdf)),
+        ("Other", spark.createDataFrame(pdf)),
+    ])(spark)
+    rows = store.nodes.collect()
+    assert len(rows) == 1
+    assert set(rows[0]["_labels"]) == {"Entity", "FirstLabel", "AnotherLabel"}
