@@ -65,6 +65,7 @@ class Converter:
         num_workers: Optional[int] = None,
         batch_size: Optional[int] = None,
         run_id: int = 0,
+        match_salt_buckets: int = 0,
     ) -> None:
         if serialize and num_workers is not None and num_workers > 1:
             raise ValueError(
@@ -85,6 +86,9 @@ class Converter:
         # batches should use a fresh run_id so parallel create-edges from
         # different runs never collide.
         self.run_id = run_id
+        # A7: salt MATCH joins when the node table is too big to broadcast
+        # and hub keys would otherwise produce straggler reducers
+        self.match_salt_buckets = match_salt_buckets
 
     # --------------------------------------------------------------------
 
@@ -194,7 +198,10 @@ class Converter:
             if rules is None or etype not in self.schema.relationship_mask:
                 continue
             for rule in rules.rel_rules:
-                part = L.lower_rel_rule(df, rule, store.nodes, broadcast_nodes)
+                part = L.lower_rel_rule(
+                    df, rule, store.nodes, broadcast_nodes,
+                    self.match_salt_buckets,
+                )
                 part = dyn.apply_rel_postprocessors_dynamic(part, rule)
                 edge_parts.append(part)
                 edge_merge_flags.append(

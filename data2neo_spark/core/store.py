@@ -164,6 +164,45 @@ class GraphStore:
             df = df.join(F.broadcast(dst), df[L.DST_UID] == F.col("__dst_match"), "left_semi")
         return df
 
+    # --- single-element push / pull (reference graph_elements.py:285-336) ---
+
+    def push(self, node) -> None:
+        """Overwrite the stored node's properties/labels from a local Node
+        object (K6). Single-element upsert — convenience API, not a bulk
+        path; bulk updates go through a Converter run."""
+        from ..core.converter import Converter
+
+        if node.__primarykey__ is None or node.__primarylabel__ is None:
+            raise ValueError("push requires a primary label and primary key")
+        pk = node.__primarykey__
+        row = {k: v for k, v in node.properties.items()}
+        import pandas as pd
+
+        pdf = pd.DataFrame([row])
+        attr_lines = "".join(
+            f"        {'+' if k == pk else '-'} {k} = t.{k}\n" for k in row
+        )
+        labels = ", ".join(f'"{l}"' for l in node.labels)
+        schema = f'ENTITY("t"):\n    NODE({labels}) n:\n{attr_lines}'
+        Converter(schema, [("t", self.spark.createDataFrame(pdf))], store=self)(self.spark)
+
+    def pull(self, node) -> None:
+        """Refresh a local Node object's properties from the store (K6)."""
+        if node.__primarykey__ is None or node.__primarylabel__ is None:
+            raise ValueError("pull requires a primary label and primary key")
+        rows = self.match_nodes(
+            node.__primarylabel__,
+            **{node.__primarykey__: node.properties[node.__primarykey__]},
+        ).collect()
+        if not rows:
+            raise ValueError("pull: node not found in store")
+        meta = {L.UID, L.LABELS, L.PLABEL, L.PKPROP, L.PKVAL, L.SEQ_SRC, L.SEQ_ROW}
+        d = rows[0].asDict()
+        for k, v in d.items():
+            if k not in meta and v is not None:
+                node[k] = v
+        node.identity = d[L.UID]
+
     # --- triple projection --------------------------------------------------
 
     def triples(self) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import registrar
+from ..core.global_state import install as _install_gstate, snapshot as _snapshot_gstate
 from ..core.graph_elements import GhostPrimaryKey, coerce_value
 from ..core.row_factories import Resource, build_node_constructor
 from ..core.types import python_str_column
@@ -85,8 +86,10 @@ def lower_node_rule_dynamic(df: DataFrame, rule: NodeRule) -> DataFrame:
     any relationships a postprocessor added)."""
     constructor = build_node_constructor(rule)
     col_names = [f.name for f in df.schema.fields if f.name not in (L.SEQ_SRC, L.SEQ_ROW)]
+    gstate = _snapshot_gstate()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_gstate(gstate)
         for pdf in batches:
             out: List[dict] = []
             for rec in pdf.to_dict("records"):
@@ -279,8 +282,10 @@ def apply_rel_postprocessors_dynamic(edges: DataFrame, rule: RelRule) -> DataFra
     meta = set(L.EDGE_META)
     prop_cols = [f.name for f in schema.fields if f.name not in meta]
     col_names = [f.name for f in schema.fields]
+    gstate = _snapshot_gstate()
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_gstate(gstate)
         for pdf in batches:
             keep = []
             for rec in pdf.to_dict("records"):

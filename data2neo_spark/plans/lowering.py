@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import registrar
+from ..core.global_state import install as _install_gstate, snapshot as _snapshot_gstate
 from ..core.graph_elements import Attribute, coerce_value
 from ..core.types import python_str_column, spark_type_of_literal
 from .rules import AttrSpec, MatchSpec, NodeRule, RelRule, WrapperApplication
@@ -174,9 +175,11 @@ def attr_column(
         static = spec.static
 
         out_dtype = base_dtype
+        gstate = _snapshot_gstate()
 
         @F.pandas_udf(out_dtype.simpleString())
         def _pre_udf(batch: pd.DataFrame) -> pd.Series:
+            _install_gstate(gstate)
             out = []
             for row in batch.itertuples(index=False):
                 resource = dict(zip(col_names, row))
@@ -237,9 +240,10 @@ def attr_column(
             key = spec.key
             out_dtype = _infer_post_chain_type(run, key, dtype)
 
-            def _make_post(run=tuple(run), key=key):
+            def _make_post(run=tuple(run), key=key, gstate=_snapshot_gstate()):
                 @F.pandas_udf(out_dtype.simpleString())
                 def _post_udf(s: pd.Series) -> pd.Series:
+                    _install_gstate(gstate)
                     out = []
                     for v in s:
                         if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -292,8 +296,10 @@ def apply_subgraph_preprocessors(
 
     col_names = [f.name for f in df.schema.fields]
     schema = df.schema
+    gstate = _snapshot_gstate()
 
     def _apply(batches):
+        _install_gstate(gstate)
         for pdf in batches:
             keep_rows = []
             for row in pdf.to_dict("records"):
@@ -334,8 +340,10 @@ def propagate_sg_pre_mutations(
 
     col_names = [f.name for f in df.schema.fields]
     schema = df.schema
+    gstate = _snapshot_gstate()
 
     def _apply(batches):
+        _install_gstate(gstate)
         for pdf in batches:
             rows = []
             for row in pdf.to_dict("records"):
@@ -440,6 +448,7 @@ def lower_match(
     entity_type: str,
     side: str,
     broadcast_nodes: bool,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """MATCH(...) → equi join of rows against the node table.
 
@@ -514,8 +523,28 @@ def lower_match(
         join_cond = F.lit(True)
 
     if broadcast_nodes:
-        cand = F.broadcast(cand)
-    joined = rows.join(cand, on=join_cond, how="inner")
+        # small node table: broadcast — no shuffle, skew-immune
+        joined = rows.join(F.broadcast(cand), on=join_cond, how="inner")
+    elif salt_buckets:
+        # A7 skew handling for shuffle joins against a huge node table:
+        # the row side gets a deterministic salt, the candidate side is
+        # replicated across all salt values — a hub key's rows spread over
+        # salt_buckets reducers instead of one straggler
+        rows = rows.withColumn(
+            f"{side}_salt",
+            F.pmod(F.xxhash64(F.col(SEQ_SRC), F.col(SEQ_ROW)), F.lit(salt_buckets)),
+        )
+        cand = cand.withColumn(
+            f"{side}_salt_c",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))),
+        )
+        joined = rows.join(
+            cand,
+            on=join_cond & (F.col(f"{side}_salt") == F.col(f"{side}_salt_c")),
+            how="inner",
+        ).drop(f"{side}_salt", f"{side}_salt_c")
+    else:
+        joined = rows.join(cand, on=join_cond, how="inner")
 
     for expr in post_label_exprs:
         joined = joined.filter(
@@ -532,6 +561,7 @@ def lower_rel_rule(
     rule: RelRule,
     nodes: DataFrame,
     broadcast_nodes: bool = False,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """RELATIONSHIP rule → canonical edge-rows DataFrame.
 
@@ -543,9 +573,9 @@ def lower_rel_rule(
     base = apply_subgraph_preprocessors(df, rule.wrappers)
 
     rows = lower_match(base, rule.from_match, nodes, rule.entity_type,
-                       "_from", broadcast_nodes)
+                       "_from", broadcast_nodes, salt_buckets)
     rows = lower_match(rows, rule.to_match, nodes, rule.entity_type,
-                       "_to", broadcast_nodes)
+                       "_to", broadcast_nodes, salt_buckets)
 
     type_col = attr_column(rule.type_attr, rows, rule.entity_type)
     type_col = python_str_column(type_col, dtype_of(rows, type_col))

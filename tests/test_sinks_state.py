@@ -1,0 +1,132 @@
+"""Neo4j export sinks (P8/K-series), push/pull (K6), GlobalSharedState (O7),
+salted MATCH joins (A7)."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from data2neo_spark import Converter, Node, register_attribute_postprocessor, Attribute
+from data2neo_spark.core.global_state import GlobalSharedState
+from data2neo_spark.sinks.neo4j_export import (
+    cypher_statements,
+    encode_key,
+    write_admin_import_csvs,
+)
+
+SCHEMA = """
+ENTITY("t"):
+    NODE("Person") p:
+        + id = INT(t.id)
+        - name = t.name
+    NODE("City") c:
+        + city = t.city
+    RELATIONSHIP(p, "LIVES_IN", c):
+        - since = INT(t.since)
+"""
+
+PDF = pd.DataFrame({
+    "id": [1, 2], "name": ["Ada O'Hara", "Bob"],
+    "city": ["Zurich", "Zurich"], "since": [2001, 2002],
+})
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return Converter(SCHEMA, [("t", spark.createDataFrame(PDF))])(spark)
+
+
+def test_encode_key():
+    assert encode_key("simple_key") == "simple_key"
+    assert encode_key("weird key") == "`weird key`"
+    assert encode_key("back`tick") == "`back``tick`"
+    with pytest.raises(ValueError):
+        encode_key("")
+
+
+def test_cypher_statements(spark, store):
+    stmts = [r["stmt"] for r in cypher_statements(store).collect()]
+    creates = [s for s in stmts if s.startswith("CREATE (n:")]
+    rels = [s for s in stmts if "LIVES_IN" in s]
+    assert len(creates) == 3  # 2 persons + 1 merged city
+    assert len(rels) == 2
+    quoted = [s for s in creates if "Ada O\\'Hara" in s]
+    assert len(quoted) == 1  # escaped single quote
+
+
+def test_admin_import_csvs(spark, store, tmp_path):
+    out = str(tmp_path / "export")
+    written = write_admin_import_csvs(store, out)
+    assert written["nodes_Person"] == 2
+    assert written["nodes_City"] == 1
+    assert written["rels_LIVES_IN"] == 2
+    csv = glob.glob(os.path.join(out, "nodes_Person", "*.csv"))[0]
+    header = open(csv).readline().strip()
+    assert ":ID" in header and ":LABEL" in header and "name" in header
+
+
+def test_push_pull(spark, store):
+    node = Node("Person", id=1)
+    node.set_primary_key("id")
+    store.pull(node)
+    assert node["name"] == "Ada O'Hara"
+    assert node.identity is not None
+
+    node["name"] = "Renamed"
+    store.push(node)
+    refreshed = store.match_nodes("Person", id=1).collect()[0]
+    assert refreshed["name"] == "Renamed"
+
+
+def test_global_shared_state(spark):
+    """O7: read-only state set on the driver is visible inside wrapper fns
+    running on executors."""
+    GlobalSharedState.suffix = "-from-state"
+
+    @register_attribute_postprocessor
+    def APPEND_STATE(attr):
+        return Attribute(attr.key, attr.value + GlobalSharedState.suffix)
+
+    schema = """
+ENTITY("g"):
+    NODE("G") n:
+        + id = INT(g.id)
+        - v = APPEND_STATE(g.v)
+"""
+    st = Converter(
+        schema, [("g", spark.createDataFrame(pd.DataFrame({"id": [1], "v": ["x"]})))]
+    )(spark)
+    assert st.nodes.collect()[0]["v"] == "x-from-state"
+
+
+def test_salted_match_join_same_result(spark):
+    """A7: salting the MATCH join changes the physical plan, not the answer."""
+    ent = pd.DataFrame({"id": [1, 2]})
+    rel = pd.DataFrame({"src": [1, 1, 1, 1, 2], "dst": [2, 2, 2, 2, 1]})
+    schema = """
+ENTITY("e"):
+    NODE("E") n:
+        + id = INT(e.id)
+
+ENTITY("r"):
+    RELATIONSHIP(MATCH("E", id = INT(r.src)), "TO", MATCH("E", id = INT(r.dst))):
+"""
+
+    def run(salt):
+        import data2neo_spark.core.converter as C
+        old = C.BROADCAST_NODE_LIMIT
+        C.BROADCAST_NODE_LIMIT = 0  # force the shuffle-join path
+        try:
+            store = Converter(
+                schema,
+                [("e", spark.createDataFrame(ent)), ("r", spark.createDataFrame(rel))],
+                match_salt_buckets=salt,
+            )(spark)
+            return sorted(
+                (r["_src_key"], r["_dst_key"]) for r in store.edges.collect()
+            )
+        finally:
+            C.BROADCAST_NODE_LIMIT = old
+
+    assert run(0) == run(4) == [("1", "2")] * 4 + [("2", "1")]
