@@ -319,6 +319,42 @@ def _agg_pricing_summary(spark, sf_dir):
     )
 
 
+def _agg_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + grouped decimal revenue, top 10."""
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _agg_region_volume(spark, sf_dir):
+    """TPC-H Q5-style: snowflake join through nation/region, decimal sums."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def _window_events(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -367,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "multimodal_features": _multimodal_features,
         "agg_pricing_summary": _agg_pricing_summary,
+        "agg_shipping_priority": _agg_shipping_priority,
+        "agg_region_volume": _agg_region_volume,
         "window_events": _window_events,
     }
 
@@ -522,6 +560,27 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '2002-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_shipping_priority": (
+            "SELECT l_orderkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "agg_region_volume": (
+            "SELECT r_name, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
         ),
         "window_events": (
             "SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "

@@ -95,7 +95,16 @@ def lower_node_rule_dynamic(df: DataFrame, rule: NodeRule) -> DataFrame:
             for rec in pdf.to_dict("records"):
                 seq_src, seq_row = rec[L.SEQ_SRC], rec[L.SEQ_ROW]
                 resource = Resource({k: rec[k] for k in col_names})
-                subgraph = constructor.construct(resource)
+                try:
+                    subgraph = constructor.construct(resource)
+                except Exception as exc:
+                    # O8 exception enrichment (reference converter.py:161-166):
+                    # annotate factory errors with the failing resource
+                    raise RuntimeError(
+                        f"Error while processing entity '{rule.entity_type}' "
+                        f"rule '{rule.rule_id}' on resource "
+                        f"{dict(list(resource.items())[:8])!r}: {exc}"
+                    ) from exc
                 nodes = subgraph.nodes
                 node_idx = {id(n): i for i, n in enumerate(nodes)}
                 for i, node in enumerate(nodes):

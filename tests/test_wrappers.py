@@ -231,3 +231,25 @@ ENTITY("SGWRAPPER"):
     assert len(rows) == 1
     p = props(rows[0])
     assert p == {"First": "F", "Fifth": "Test1", "Sixth": "Test2"}
+
+
+def test_exception_enrichment(spark):
+    """O8: a wrapper that raises aborts the run with resource context
+    (reference test_end_to_end.py:115-137 exception propagation)."""
+    from data2neo_spark import register_subgraph_postprocessor
+
+    @register_subgraph_postprocessor
+    def RAISE_ERROR(subgraph):
+        raise ValueError("boom")
+
+    schema = """
+ENTITY("E"):
+  RAISE_ERROR(NODE("X")) x:
+    + id = INT(E.id)
+"""
+    with pytest.raises(Exception) as excinfo:
+        Converter(
+            schema, [("E", spark.createDataFrame(pd.DataFrame({"id": [7]})))]
+        )(spark)
+    msg = str(excinfo.value)
+    assert "entity 'E'" in msg and "boom" in msg and "'id': 7" in msg
