@@ -79,6 +79,58 @@ def stream_windowed_mention_counts(
     )
 
 
+def stream_pages_to_graph(
+    pages_stream: DataFrame,
+    entity_dict: DataFrame,
+    store,
+    schema: str = None,
+):
+    """Incremental graph materialization: every micro-batch runs the SAME
+    batch Converter against the shared GraphStore with ``run_id = batch_id``
+    — merge-on-key nodes upsert, batch replays after failure are idempotent
+    (the streaming variant of the checkpoint/resume contract).
+
+    Returns the StreamingQuery; stop it to end ingestion.
+    """
+    from ..core.converter import Converter
+    from ..pipeline.webtext import detect_mentions, extract_pages, link_entities
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = extract_pages(batch_df)
+        linked = link_entities(
+            detect_mentions(docs, entity_dict, strategy="array"),
+            assume_unambiguous=True,
+        )
+        conv_schema = schema or """
+ENTITY("pages"):
+    NODE("Page") page:
+        + url = pages.url
+        - lang = pages.lang
+
+ENTITY("mentions"):
+    NODE("Entity") ent:
+        + canonical = mentions.canonical
+        - kind = mentions.kind
+    RELATIONSHIP(MATCH("Page", url = mentions.url), "MENTIONS", ent):
+        + surface = mentions.surface
+        - n_hits = INT(mentions.n_hits)
+"""
+        Converter(
+            conv_schema,
+            [("pages", docs), ("mentions", linked)],
+            store=store,
+            run_id=int(batch_id),
+        )(batch_df.sparkSession)
+
+    return (
+        pages_stream.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .start()
+    )
+
+
 _SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_events", T.LongType()),

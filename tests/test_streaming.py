@@ -132,3 +132,30 @@ def test_stream_sessionize(spark):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_stream_pages_to_graph(spark, pages_dir, tmp_path):
+    """Incremental graph materialization via foreachBatch: merged node/edge
+    tables equal the batch pipeline's output."""
+    from data2neo_spark import GraphStore
+    from data2neo_spark.streaming import stream_pages_to_graph
+    from data2neo_spark.pipeline.webtext import pages_to_graph
+
+    edict = entity_dictionary(spark, 50, seed=42)
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(pages_dir)
+    )
+    store = GraphStore(spark, path=str(tmp_path / "stream_store"))
+    q = stream_pages_to_graph(stream, edict, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_store = GraphStore(spark)
+    pages_to_graph(spark.read.parquet(pages_dir), edict, batch_store)
+    assert store.nodes.count() == batch_store.nodes.count()
+    assert store.edges.count() == batch_store.edges.count()
