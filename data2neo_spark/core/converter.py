@@ -181,15 +181,31 @@ class Converter:
             else:
                 union = union_wide([existing] + node_parts)
                 merged = L.merge_elements(union, L.NODE_META, L.UID)
-            store.set_nodes(merged)
-            store.log_stage(
-                "nodes", n_nodes=store.node_count, wall_s=round(time.time() - t0, 3)
+            # the node-table materialization is the pass-1/pass-2 barrier —
+            # required only when some MATCH matcher joins against it, or the
+            # store persists to disk (checkpoint/resume). Identifier-only
+            # schemas skip it: the whole conversion collapses into one
+            # lazily-evaluated plan (no extra actions, no cache)
+            needs_barrier = store.path is not None or any(
+                (not m.is_identifier)
+                for etype, _ in enriched
+                if etype in self.schema.entities
+                for rule in self.schema.entities[etype].rel_rules
+                for m in (rule.from_match, rule.to_match)
             )
+            store.set_nodes(merged, materialize=needs_barrier)
+            if needs_barrier:
+                store.log_stage(
+                    "nodes", n_nodes=store.node_count,
+                    wall_s=round(time.time() - t0, 3),
+                )
 
         # ---------------- pass 2: relationships ------------------------
         t1 = time.time()
         broadcast_nodes = (
-            store.nodes is not None and store.node_count <= BROADCAST_NODE_LIMIT
+            store.nodes is not None
+            and store.is_materialized
+            and store.node_count <= BROADCAST_NODE_LIMIT
         )
         edge_parts: List[DataFrame] = list(dyn_edge_parts)
         edge_merge_flags: List[bool] = [True] * len(dyn_edge_parts)
@@ -231,12 +247,15 @@ class Converter:
                     if union_e is not None else None
                 )
             if merged_e is not None:
-                store.set_edges(merged_e)
-                store.log_stage(
-                    "edges",
-                    n_edges=store.edges.count(),
-                    wall_s=round(time.time() - t1, 3),
-                )
+                # edges only need materializing for persistent stores; for
+                # in-memory stores the caller's first action computes them
+                store.set_edges(merged_e, materialize=store.path is not None)
+                if store.path is not None:
+                    store.log_stage(
+                        "edges",
+                        n_edges=store.edges.count(),
+                        wall_s=round(time.time() - t1, 3),
+                    )
 
         store.log_stage("run", wall_s=round(time.time() - t0, 3))
         return store

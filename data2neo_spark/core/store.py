@@ -39,6 +39,9 @@ class GraphStore:
         self._edges: Optional[DataFrame] = None
         self.counters: Dict[str, Any] = {}
         self._node_count: Optional[int] = None
+        # whether the current node table is a materialized checkpoint (vs a
+        # lazy plan); edges joining a lazy node table would recompute it
+        self.is_materialized = True
         if path is not None:
             os.makedirs(path, exist_ok=True)
             if os.path.exists(os.path.join(path, "nodes", "_SUCCESS")):
@@ -68,6 +71,7 @@ class GraphStore:
         design, converter.py:374-393) and the resume checkpoint."""
         if materialize:
             df = self._materialize(df, "nodes")
+        self.is_materialized = materialize
         self._nodes = df
         self._node_count = None
 
