@@ -293,6 +293,21 @@ def _text_fingerprint(spark, sf_dir):
     )
 
 
+def _corpus_clean(spark, sf_dir):
+    """Canonical training-data cleaning chain (quality → lang → exact dedup).
+
+    SQL-expressible configuration so the oracle verifies the kept set."""
+    from data2neo_spark.operators.corpus import clean_corpus
+
+    kept, _report = clean_corpus(
+        _read(spark, sf_dir, "documents"),
+        min_words=20,
+        keep_langs=["en", "und"],
+        near_dedup=False,
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
 def _multimodal_features(spark, sf_dir):
     from data2neo_spark.operators.multimodal import synth_media, extract_features
 
@@ -401,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _text_tokens,
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
+        "corpus_clean": _corpus_clean,
         "multimodal_features": _multimodal_features,
         "agg_pricing_summary": _agg_pricing_summary,
         "agg_shipping_priority": _agg_shipping_priority,
@@ -553,6 +569,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"
         ),
+        "corpus_clean": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   round((len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                         / len(text), 4) AS digit_ratio,
+                   CAST({score(['the','and','of'])} AS BIGINT) AS score_en,
+                   CAST({score(['der','die','und'])} AS BIGINT) AS score_de,
+                   CAST({score(['le','la','et'])} AS BIGINT) AS score_fr,
+                   CAST({score(['el','los','que'])} AS BIGINT) AS score_es
+            FROM documents
+        ), filtered AS (
+            SELECT *, {_LANG_CASE} AS lang_pred FROM scored
+            WHERE n_words >= 20 AND n_words <= 100000 AND digit_ratio <= 0.3
+        ), langed AS (
+            SELECT * FROM filtered WHERE lang_pred IN ('en', 'und')
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id FROM langed GROUP BY md5(text)
+        )
+        SELECT l.doc_id, l.lang, l.n_chars FROM langed l
+        JOIN keepers k ON l.doc_id = k.doc_id
+        """,
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, "

@@ -107,3 +107,24 @@ def test_multimodal_plumbing(spark):
     # the real-decode path is an explicit stub
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake_feature=False).collect()
+
+
+def test_clean_corpus(spark):
+    from data2neo_spark.operators.corpus import clean_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then some more words here now", "en"),
+        (1, "the quick brown fox jumps over the lazy dog and then some more words here now", "en"),  # dup of 0
+        (2, "short text", "en"),                                  # fails min_words
+        (3, "der hund und die katze und der vogel und der fisch und die maus sind alle da", "de"),
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16", "en"),      # digit ratio
+    ]
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    kept, report = clean_corpus(docs, min_words=10, keep_langs=["en"], near_dedup=True)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0}   # 1 deduped, 2 too short, 3 german, 4 digits
+    rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    assert rep["quality"] == (5, 3)      # drops 2 (short) and 4 (digits)
+    assert rep["langid"] == (3, 2)       # drops 3 (de)
+    assert rep["exact_dedup"] == (2, 1)  # collapses 0/1
