@@ -239,6 +239,37 @@ def simhash_near_duplicates(
     )
 
 
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane buckets, exact
+    cosine only within buckets. All-pairs never materializes — at 10^9
+    vectors the bucket join is the only shuffle. Recall < 1 by construction
+    (tunable via n_planes; near-identical vectors almost always share a
+    bucket since they disagree on a plane with prob ≈ angle/π)."""
+    from .similarity import cosine_expr, lsh_signature, with_norm
+
+    sig = with_norm(lsh_signature(df, vec_col, dim, n_planes, seed), vec_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   F.col("_norm").alias("na"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   F.col("_norm").alias("nb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr("va", "vb", "na", "nb")
+    return (
+        pairs.withColumn("cos", F.round(cos, 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -128,3 +128,19 @@ def test_clean_corpus(spark):
     assert rep["quality"] == (5, 3)      # drops 2 (short) and 4 (digits)
     assert rep["langid"] == (3, 2)       # drops 3 (de)
     assert rep["exact_dedup"] == (2, 1)  # collapses 0/1
+
+
+def test_embedding_lsh_near_duplicates(spark):
+    from data2neo_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 → same bucket w.h.p.
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates_lsh(
+        df, "vec_id", dim=4, threshold=0.99, n_planes=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
