@@ -39,6 +39,7 @@ from .sources.iterators import (
     SparkDataFrameIterator,
     SQLiteIterator,
 )
+from .session import build_session
 from .schema.parser import parse_schema, SchemaConfigException
 from .schema.compiler import compile_schema
 
@@ -64,6 +65,7 @@ __all__ = [
     "parse_schema",
     "compile_schema",
     "SchemaConfigException",
+    "build_session",
     "register_attribute_postprocessor",
     "register_attribute_preprocessor",
     "register_subgraph_postprocessor",

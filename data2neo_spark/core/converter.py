@@ -193,10 +193,19 @@ class Converter:
                 for rule in self.schema.entities[etype].rel_rules
                 for m in (rule.from_match, rule.to_match)
             )
+            if needs_barrier:
+                # observe(): rows-in metric rides the materialization action
+                # itself — no extra job (A6 counters, reference converter.py
+                # :67-70 shared-mp.Value counters)
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
             store.set_nodes(merged, materialize=needs_barrier)
             if needs_barrier:
                 store.log_stage(
-                    "nodes", n_nodes=store.node_count,
+                    "nodes",
+                    n_nodes=obs.get.get("rows"),
                     wall_s=round(time.time() - t0, 3),
                 )
 

@@ -234,7 +234,12 @@ def pages_to_graph(
     from ..core.converter import Converter
 
     docs = extract_pages(pages)
-    linked = link_entities(detect_mentions(docs, entity_dict, salt_buckets=salt_buckets))
+    # the mention pipeline feeds BOTH converter passes (Entity nodes, then
+    # MENTIONS edges) plus the store writes — persist it once instead of
+    # recomputing the extract+detect chain 3×
+    linked = link_entities(
+        detect_mentions(docs, entity_dict, salt_buckets=salt_buckets)
+    ).persist()
     schema = """
 ENTITY("pages"):
     NODE("Page") page:
