@@ -92,6 +92,14 @@ class Converter:
 
     # --------------------------------------------------------------------
 
+    @staticmethod
+    def _plan_has_shuffle(df: DataFrame) -> bool:
+        try:
+            plan = df._jdf.queryExecution().toString()
+        except Exception:
+            return False
+        return "Exchange" in plan
+
     def _resolve_sources(self, spark: SparkSession) -> List[Tuple[str, DataFrame]]:
         it = self.iterator
         if isinstance(it, ResourceIterator):
@@ -107,6 +115,19 @@ class Converter:
             df = df.withColumn(
                 L.SEQ_SRC, F.lit(self.run_id * 1_000_000 + i).cast("long")
             ).withColumn(L.SEQ_ROW, F.monotonically_increasing_id())
+            # a shuffle in the source lineage makes per-row sequence numbers
+            # execution-dependent: pass 2 (and identifier references) could
+            # recompute DIFFERENT row ids than pass 1 → dangling edges for
+            # CREATE-mode elements. Persisting the sequenced source freezes
+            # the ids (and saves the recompute). File scans — the 100TB hot
+            # path — have no shuffle and stay unpersisted.
+            rules = self.schema.entities.get(etype)
+            if (
+                rules is not None
+                and rules.rel_rules
+                and self._plan_has_shuffle(df)
+            ):
+                df = df.persist()
             out.append((etype, df))
         return out
 

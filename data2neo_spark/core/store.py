@@ -42,8 +42,18 @@ class GraphStore:
         # whether the current node table is a materialized checkpoint (vs a
         # lazy plan); edges joining a lazy node table would recompute it
         self.is_materialized = True
+        # superseded in-memory cached tables, unpersisted on replacement
+        self._cached: Dict[str, DataFrame] = {}
         if path is not None:
             os.makedirs(path, exist_ok=True)
+            for name in ("nodes", "edges"):
+                target = os.path.join(path, name)
+                old = os.path.join(path, f"_old_{name}")
+                if not os.path.exists(os.path.join(target, "_SUCCESS")) and \
+                        os.path.exists(os.path.join(old, "_SUCCESS")):
+                    # crash between the two swap renames: recover the
+                    # previous checkpoint instead of starting empty
+                    os.rename(old, target)
             if os.path.exists(os.path.join(path, "nodes", "_SUCCESS")):
                 self._nodes = spark.read.parquet(os.path.join(path, "nodes"))
             if os.path.exists(os.path.join(path, "edges", "_SUCCESS")):
@@ -100,23 +110,31 @@ class GraphStore:
 
     def _materialize(self, df: DataFrame, name: str) -> DataFrame:
         if self.path is not None:
+            import shutil
+
             target = os.path.join(self.path, name)
             tmp = os.path.join(self.path, f"_tmp_{name}_{int(time.time() * 1000)}")
             df.write.mode("overwrite").parquet(tmp)
-            # atomic-ish swap so a killed run never clobbers the previous
-            # checkpoint (idempotent resume, north rule)
+            # swap with crash recovery: a stale _old_<name> from a killed
+            # run is cleared first, and _old_<name> is kept until the new
+            # table is fully in place (see __init__ recovery)
             old = os.path.join(self.path, f"_old_{name}")
+            shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(target):
                 os.rename(target, old)
             os.rename(tmp, target)
-            if os.path.exists(old):
-                import shutil
-                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
             out = self.spark.read.parquet(target)
             self._partition_lineage(out, name)
             return out
         df = df.persist()
         df.count()
+        # release the superseded cached table — streaming foreachBatch runs
+        # a converter per micro-batch and would otherwise leak storage memory
+        prev = self._cached.pop(name, None)
+        if prev is not None:
+            prev.unpersist()
+        self._cached[name] = df
         return df
 
     # --- lineage / counters -------------------------------------------------

@@ -149,8 +149,19 @@ def minhash_lsh_duplicates(
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     sh = word_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # restrict BOTH shingle sides to candidate documents BEFORE the
+    # self-join — otherwise a hot shingle shared by k docs materializes
+    # ~k²/2 rows and the self-join re-creates the all-pairs explosion LSH
+    # exists to avoid. (Catalyst cannot push a pair-level semi-join below
+    # the join by itself.)
+    cand_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+    cand_b = cand.select(F.col("id_b").alias(id_col)).distinct()
+    a = sh.join(cand_a, id_col, "left_semi").select(
+        F.col(id_col).alias("id_a"), "shingle"
+    )
+    b = sh.join(cand_b, id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"), "shingle"
+    )
     inter = (
         a.join(b, "shingle")
         .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")

@@ -234,12 +234,12 @@ def pages_to_graph(
     from ..core.converter import Converter
 
     docs = extract_pages(pages)
-    # the mention pipeline feeds BOTH converter passes (Entity nodes, then
-    # MENTIONS edges) plus the store writes — persist it once instead of
-    # recomputing the extract+detect chain 3×
+    # the Converter auto-persists shuffle-derived sources feeding rel rules
+    # (freezes row ids across passes and saves the recompute), so no manual
+    # persist is needed here
     linked = link_entities(
         detect_mentions(docs, entity_dict, salt_buckets=salt_buckets)
-    ).persist()
+    )
     schema = """
 ENTITY("pages"):
     NODE("Page") page:

@@ -227,10 +227,14 @@ def dynamic_to_canonical(
     )
 
     pkprop_col = F.col("pkprop")
-    pkval_str = F.coalesce(
-        *[python_str_column(F.col(p), joined.schema[p].dataType) for p in rprops],
-        F.lit(None).cast("string"),
-    ) if rprops else F.lit(None).cast("string")
+    # the merge key is the value of the DECLARED pk property (pkprop names
+    # it per row) — select it by name, not coalesce-over-all-props
+    pkval_str = F.lit(None).cast("string")
+    for p in rprops:
+        pkval_str = F.when(
+            pkprop_col == F.lit(p),
+            python_str_column(F.col(p), joined.schema[p].dataType),
+        ).otherwise(pkval_str)
     eid = (
         F.when(pkprop_col.isNotNull(),
                F.xxhash64(F.col("_src_u"), F.col("rel_type"), F.col("_dst_u"),

@@ -212,8 +212,15 @@ def attr_column(
             i += 1
         elif wdef.kind == registrar.ATTR_POST_VEC:
             fn, sargs = wdef.fn, tuple(w.static_args)
-            probe = fn(pd.Series([_probe_value(dtype)]), *sargs)
-            out_dtype = _spark_type_for(probe.iloc[0]) if len(probe) else T.StringType()
+            try:
+                probe = fn(pd.Series([_probe_value(dtype)]), *sargs)
+                out_dtype = (
+                    _spark_type_for(probe.iloc[0]) if len(probe) else dtype
+                )
+            except Exception:
+                # value-sensitive fn: assume type-preserving rather than
+                # aborting the whole conversion at compile time
+                out_dtype = dtype
 
             def _make_vec(fn=fn, sargs=sargs):
                 @F.pandas_udf(out_dtype.simpleString())

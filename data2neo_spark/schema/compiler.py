@@ -112,8 +112,26 @@ def _compile_rel(entity_type: str, instr: List[Any], rule_id: str) -> RelRule:
         wdef = registrar.get_wrapper(w.name)
         if wdef.sets_ghost_primary_key:
             rule.ghost_primary_key = True
+        elif wdef.kind == registrar.FULL_WRAPPER:
+            # the dynamic interpreter path exists for NODE rules only —
+            # fail loudly at compile time instead of silently dropping the
+            # wrapper or crashing inside an executor UDF
+            raise SchemaConfigException(
+                f"Full wrapper classes around RELATIONSHIP rules are not "
+                f"supported ('{w.name}' in entity '{entity_type}'); use "
+                f"subgraph pre/postprocessors instead"
+            )
         else:
             rule.wrappers.append(w)
+    for spec in [rule.type_attr, *rule.attributes] + rule.from_match.conditions \
+            + rule.from_match.labels + rule.to_match.conditions + rule.to_match.labels:
+        for w in spec.wrappers:
+            if registrar.get_wrapper(w.name).kind == registrar.FULL_WRAPPER:
+                raise SchemaConfigException(
+                    f"Full wrapper classes on RELATIONSHIP attributes are not "
+                    f"supported ('{w.name}' in entity '{entity_type}'); "
+                    f"register an attribute pre/postprocessor instead"
+                )
     return rule
 
 

@@ -37,6 +37,16 @@ def encode_key(key: str) -> str:
     return "`" + key.replace("`", "``") + "`"
 
 
+def _encode_key_col(col: Column) -> Column:
+    """Backtick-escape labels/rel-types that aren't safe identifiers —
+    Column-level twin of ``encode_key`` (values are data-dependent)."""
+    safe = col.rlike("^[A-Za-z_][0-9A-Za-z_]*$")
+    escaped = F.concat(
+        F.lit("`"), F.regexp_replace(col, "`", "``"), F.lit("`")
+    )
+    return F.when(safe, col).otherwise(escaped)
+
+
 def _encode_string_col(col: Column) -> Column:
     """Single-quoted Cypher string literal as a Column expression."""
     escaped = F.regexp_replace(col, r"\\", r"\\\\")
@@ -83,7 +93,10 @@ def cypher_statements(store) -> DataFrame:
     meta = set(L.NODE_META)
     nodes = store.nodes
     labels = F.concat_ws(
-        "", F.transform(F.col(L.LABELS), lambda l: F.concat(F.lit(":"), l))
+        "",
+        F.transform(
+            F.col(L.LABELS), lambda l: F.concat(F.lit(":"), _encode_key_col(l))
+        ),
     )
     node_stmts = nodes.select(
         F.concat(
@@ -104,7 +117,7 @@ def cypher_statements(store) -> DataFrame:
         F.concat(
             F.lit("MATCH (a {_uid: "), F.col(L.SRC_UID).cast("string"),
             F.lit("}), (b {_uid: "), F.col(L.DST_UID).cast("string"),
-            F.lit("}) CREATE (a)-[:"), F.col(L.RELTYPE),
+            F.lit("}) CREATE (a)-[:"), _encode_key_col(F.col(L.RELTYPE)),
             F.lit(" "), _props_map_expr(edges, emeta),
             F.lit("]->(b);"),
         ).alias("stmt")
