@@ -370,6 +370,33 @@ def _agg_region_volume(spark, sf_dir):
     )
 
 
+def _agg_rollup_events(spark, sf_dir):
+    """ROLLUP over (event_type, user-bucket) with decimal sums."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return (
+        ev.rollup("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+
+
+def _window_running_sum(spark, sf_dir):
+    """True window function: per-user running event-value sum over time."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).alias("running_value"),
+    )
+
+
 def _window_events(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -421,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _agg_pricing_summary,
         "agg_shipping_priority": _agg_shipping_priority,
         "agg_region_volume": _agg_region_volume,
+        "agg_rollup_events": _agg_rollup_events,
+        "window_running_sum": _window_running_sum,
         "window_events": _window_events,
     }
 
@@ -619,6 +648,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name"
+        ),
+        "agg_rollup_events": (
+            "SELECT event_type, user_bucket, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(18,4))) AS sum_value "
+            "FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value "
+            "      FROM events) "
+            "GROUP BY ROLLUP (event_type, user_bucket)"
+        ),
+        "window_running_sum": (
+            "SELECT user_id, event_id, "
+            "sum(CAST(value AS DECIMAL(18,4))) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS running_value "
+            "FROM events WHERE user_id < 10"
         ),
         "window_events": (
             "SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
