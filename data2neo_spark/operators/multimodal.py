@@ -61,21 +61,35 @@ def extract_features(
     ``_fake_feature`` for the model call.
     """
 
+    # NOTE: the closure must be self-contained (stdlib-only references) —
+    # executor python workers in a foreign harness may not have this package
+    # on sys.path, and cloudpickle resolves module globals by import.
+    out_cols = ["media_id", "kind", "n_bytes", "sha1", "feature"]
+    feat_dim = dim
+    do_fake = fake_feature
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import pandas as _pd
+
         for pdf in batches:
             out = []
             for rec in pdf.to_dict("records"):
                 payload = rec["payload"] or b""
-                if not fake_feature:
-                    decode_image(payload)
+                if not do_fake:
+                    raise NotImplementedError(
+                        "image decode requires an imaging library; use "
+                        "fake_feature=True for the deterministic test path"
+                    )
+                digest = _hashlib.sha1(payload).digest()
                 out.append({
                     "media_id": rec["media_id"],
                     "kind": rec["kind"],
                     "n_bytes": len(payload),
-                    "sha1": hashlib.sha1(payload).hexdigest(),
-                    "feature": _fake_feature(payload, dim),
+                    "sha1": _hashlib.sha1(payload).hexdigest(),
+                    "feature": [b / 255.0 for b in digest[:feat_dim]],
                 })
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield _pd.DataFrame(out, columns=out_cols)
 
     return media.mapInPandas(_run, schema=FEATURE_SCHEMA)
 
