@@ -327,8 +327,8 @@ def _agg_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("2002-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -345,7 +345,7 @@ def _agg_shipping_priority(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -366,7 +366,7 @@ def _agg_region_volume(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
@@ -379,7 +379,7 @@ def _agg_rollup_events(spark, sf_dir):
         ev.rollup("event_type", "user_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -393,7 +393,7 @@ def _window_running_sum(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -406,7 +406,7 @@ def _window_events(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -622,16 +622,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, "
-            "sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '2002-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "agg_shipping_priority": (
             "SELECT l_orderkey, "
-            "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
-            "    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) "
+            "AS DOUBLE) AS revenue, "
             "count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -640,8 +641,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_region_volume": (
             "SELECT r_name, "
-            "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
-            "    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) "
+            "AS DOUBLE) AS revenue, "
             "count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -651,21 +653,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_rollup_events": (
             "SELECT event_type, user_bucket, count(*) AS n, "
-            "sum(CAST(value AS DECIMAL(18,4))) AS sum_value "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value "
             "      FROM events) "
             "GROUP BY ROLLUP (event_type, user_bucket)"
         ),
         "window_running_sum": (
             "SELECT user_id, event_id, "
-            "sum(CAST(value AS DECIMAL(18,4))) OVER "
-            "(PARTITION BY user_id ORDER BY event_id) AS running_value "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value "
             "FROM events WHERE user_id < 10"
         ),
         "window_events": (
             "SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
             "AS hour, count(*) AS n_events, "
-            "sum(CAST(value AS DECIMAL(18,4))) AS sum_value "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
     }
