@@ -97,7 +97,12 @@ class Converter:
         try:
             plan = df._jdf.queryExecution().toString()
         except Exception:
-            return False
+            logger.warning(
+                "could not inspect the source plan for shuffles (API drift?); "
+                "persisting defensively — row-id determinism across passes "
+                "depends on it"
+            )
+            return True
         return "Exchange" in plan
 
     def _resolve_sources(self, spark: SparkSession) -> List[Tuple[str, DataFrame]]:
