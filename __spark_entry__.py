@@ -163,6 +163,24 @@ ENTITY("events"):
     )
 
 
+def _kg_property_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal triples: (Nation:key, property, str(value)) for every non-null
+    node property plus the IN_REGION edge triples."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("nation"):
+    NODE("Nation") n:
+        + key = INT(nation.n_nationkey)
+        - name = nation.n_name
+    NODE("Region") r:
+        + rkey = INT(nation.n_regionkey)
+    RELATIONSHIP(n, "IN_REGION", r):
+"""
+    store = Converter(schema, [("nation", _read(spark, sf_dir, "nation"))])(spark)
+    return store.triples(include_properties=True)
+
+
 def _kg_dynamic_rel_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 dynamic relationship type (type from a row value) + A4 ghost merge:
     one edge per (user, event_type, day)."""
@@ -429,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ghost_merge": _kg_ghost_merge,
         "kg_upsert_update": _kg_upsert_update,
         "kg_props_cast_static": _kg_props_cast_static,
+        "kg_property_triples": _kg_property_triples,
         "kg_dynamic_rel_type": _kg_dynamic_rel_type,
         "kg_webtext_mentions": _kg_webtext_mentions,
         "dedup_exact": _dedup_exact,
@@ -552,6 +571,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_props_cast_static": (
             "SELECT event_id AS id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, "
             "value, event_type AS etype, 'events' AS src FROM events"
+        ),
+        "kg_property_triples": (
+            "SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS subj, "
+            "'IN_REGION' AS pred, "
+            "'Region:' || CAST(n_regionkey AS VARCHAR) AS obj FROM nation "
+            "UNION ALL "
+            "SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR), 'key', "
+            "CAST(n_nationkey AS VARCHAR) FROM nation "
+            "UNION ALL "
+            "SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR), 'name', n_name "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT DISTINCT 'Region:' || CAST(n_regionkey AS VARCHAR), 'rkey', "
+            "CAST(n_regionkey AS VARCHAR) FROM nation"
         ),
         "kg_dynamic_rel_type": (
             "SELECT DISTINCT 'User:' || CAST(user_id AS VARCHAR) AS subj, "

@@ -227,15 +227,14 @@ class GraphStore:
 
     # --- triple projection --------------------------------------------------
 
-    def triples(self) -> DataFrame:
-        """(subj, pred, obj) projection of the edge table.
+    def triples(self, include_properties: bool = False) -> DataFrame:
+        """(subj, pred, obj) projection of the graph.
 
         Subjects/objects are human-readable ``Label:pk`` identifiers when the
         endpoint was merged on a primary key, else ``Label:#uid``.
+        ``include_properties=True`` additionally emits one literal triple per
+        non-null node property: (Label:pk, property_name, str(value)).
         """
-        if self._edges is None:
-            raise ValueError("GraphStore has no edges yet")
-
         def ident(label_col: str, key_col: str, uid_col: str):
             return F.concat_ws(
                 ":",
@@ -246,11 +245,55 @@ class GraphStore:
                 ),
             )
 
-        return self._edges.select(
-            ident(L.SRC_LABEL, L.SRC_KEY, L.SRC_UID).alias("subj"),
-            F.col(L.RELTYPE).alias("pred"),
-            ident(L.DST_LABEL, L.DST_KEY, L.DST_UID).alias("obj"),
-        )
+        parts = []
+        if self._edges is not None:
+            parts.append(
+                self._edges.select(
+                    ident(L.SRC_LABEL, L.SRC_KEY, L.SRC_UID).alias("subj"),
+                    F.col(L.RELTYPE).alias("pred"),
+                    ident(L.DST_LABEL, L.DST_KEY, L.DST_UID).alias("obj"),
+                )
+            )
+        if include_properties and self._nodes is not None:
+            from ..core.types import python_str_column
+
+            meta = set(L.NODE_META)
+            nodes = self._nodes
+            subj = ident(L.PLABEL, L.PKVAL, L.UID)
+            # stack properties: one pass over the node table, no joins
+            pairs = []
+            for field in nodes.schema.fields:
+                if field.name in meta:
+                    continue
+                pairs.append(
+                    F.when(
+                        F.col(field.name).isNotNull(),
+                        F.struct(
+                            F.lit(field.name).alias("pred"),
+                            python_str_column(
+                                F.col(field.name), field.dataType
+                            ).alias("obj"),
+                        ),
+                    )
+                )
+            if pairs:
+                stacked = nodes.select(
+                    subj.alias("subj"),
+                    F.explode(
+                        F.filter(F.array(*pairs), lambda x: x.isNotNull())
+                    ).alias("_p"),
+                ).select(
+                    "subj",
+                    F.col("_p.pred").alias("pred"),
+                    F.col("_p.obj").alias("obj"),
+                )
+                parts.append(stacked)
+        if not parts:
+            raise ValueError("GraphStore has no edges yet")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def save_triples(self, path: str) -> None:
         self.triples().write.mode("overwrite").parquet(path)

@@ -194,3 +194,24 @@ def test_triples(spark):
     triples = {tuple(r) for r in store.triples().collect()}
     assert ("Person:1", "likes", "Species:virginica") in triples
     assert any(t[1] == "is" and t[2] == "Species:setosa" for t in triples)
+
+
+def test_partitioning_invariance(spark):
+    """Reference parametrizes workers∈{1,5}×batch∈{1,100} and requires
+    identical graphs (test_end_to_end.py:32-34); our equivalent: results are
+    invariant to input partitioning."""
+    base = convert(spark, NO_DUPLICATES)
+    expected_nodes = node_set(base.nodes)
+    expected_edges = sorted(edge_set(base), key=repr)
+    for parts in (1, 12):
+        iters = [
+            PandasDataFrameIterator(IRIS, "Flower"),
+            PandasDataFrameIterator(NO_DUPLICATES, "Person"),
+        ]
+        pairs = []
+        for it in iters:
+            (etype, df), = it.resolve(spark)
+            pairs.append((etype, df.repartition(parts)))
+        store = Converter(SCHEMA, pairs)(spark)
+        assert node_set(store.nodes) == expected_nodes
+        assert sorted(edge_set(store), key=repr) == expected_edges
