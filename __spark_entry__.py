@@ -415,6 +415,43 @@ def _window_running_sum(spark, sf_dir):
     )
 
 
+def _asof_join_events(spark, sf_dir):
+    """As-of join (custom operator: single shuffle+sort window composition):
+    for each error event, the latest click by the same user at or before it."""
+    from data2neo_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, "ts", ["user_id"], value_cols=["click_id"])
+    return out.select(
+        "err_id",
+        "user_id",
+        F.col("click_id_right").alias("prev_click_id"),
+    )
+
+
+def _range_join_events(spark, sf_dir):
+    """Range join (bucketized equi join + exact filter): clicks within 10
+    minutes after each error, counted per error."""
+    from data2neo_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts")
+    joined = range_join(clicks, errors, "ts", "win_start", "win_end",
+                        bucket_seconds=600)
+    return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
 def _window_events(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -468,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_shipping_priority": _agg_shipping_priority,
         "agg_region_volume": _agg_region_volume,
         "agg_rollup_events": _agg_rollup_events,
+        "asof_join_events": _asof_join_events,
+        "range_join_events": _range_join_events,
         "window_running_sum": _window_running_sum,
         "window_events": _window_events,
     }
@@ -690,6 +729,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value "
             "      FROM events) "
             "GROUP BY ROLLUP (event_type, user_bucket)"
+        ),
+        "asof_join_events": (
+            "SELECT e.err_id, e.user_id, c.click_id AS prev_click_id "
+            "FROM (SELECT user_id, ts, event_id AS err_id FROM events "
+            "      WHERE event_type = 'error') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id "
+            "                FROM events WHERE event_type = 'click') c "
+            "ON e.user_id = c.user_id AND e.ts >= c.ts"
+        ),
+        "range_join_events": (
+            "SELECT err_id, count(*) AS n_clicks "
+            "FROM (SELECT event_id AS err_id, ts AS win_start, "
+            "             ts + INTERVAL 10 MINUTE AS win_end FROM events "
+            "      WHERE event_type = 'error') e "
+            "JOIN (SELECT ts FROM events WHERE event_type = 'click') c "
+            "ON c.ts >= e.win_start AND c.ts <= e.win_end "
+            "GROUP BY err_id"
         ),
         "window_running_sum": (
             "SELECT user_id, event_id, "

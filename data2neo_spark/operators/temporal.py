@@ -1,0 +1,110 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+Both are compositions of built-in operators (SURVEY.md custom-operator rule:
+composition first, pandas UDF only if semantics demand it):
+
+* as-of join — union both sides, ONE shuffle+sort per key, then
+  ``last(..., ignorenulls)`` over an ordered window carries the most recent
+  right-side row forward onto each left row. No per-key loops, no
+  merge_asof UDF; scales as a single window over (key, time).
+* range join — bucketize the range key: each right interval explodes into
+  the fixed-width buckets it overlaps, the left side joins on its single
+  bucket, then the exact predicate filters. Turns an inequality join into
+  an equi join + local filter.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: List[str],
+    value_cols: Optional[List[str]] = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the latest (direction='backward') right row
+    with right.ts <= left.ts within the same `by` key (ties: right wins —
+    a right row at exactly left.ts is visible).
+
+    Returns left columns + value_cols renamed with `suffix` + `ts_right`.
+    """
+    if direction not in ("backward",):
+        raise NotImplementedError("only direction='backward' is implemented")
+    value_cols = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in by and c != ts_col
+    ]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != ts_col],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at the same timestamp (_is_left asc)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_is_left"),
+        *[F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.last(F.col(f"{ts_col}{suffix}"), ignorenulls=True).over(w)
+        .alias(f"{ts_col}{suffix}"),
+    )
+    return carried.where(F.col("_is_left") == 1).drop("_is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """left.point ∈ [right.start, right.end] via bucketized equi join.
+
+    Each right interval replicates into ceil(len/bucket)+1 buckets; left rows
+    hash to one bucket — the shuffle is an equi join on (bucket), then the
+    exact inequality filters locally. Interval length should be O(bucket) for
+    bounded replication.
+    """
+    b = F.lit(bucket_seconds)
+    l_bucket = (F.unix_timestamp(F.col(point_col)) / b).cast("long")
+    r_start_b = (F.unix_timestamp(F.col(start_col)) / b).cast("long")
+    r_end_b = (F.unix_timestamp(F.col(end_col)) / b).cast("long")
+
+    r_exploded = right.withColumn(
+        "_bucket", F.explode(F.sequence(r_start_b, r_end_b))
+    )
+    l_b = left.withColumn("_bucket", l_bucket)
+    return (
+        l_b.join(r_exploded, "_bucket")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -144,3 +144,49 @@ def test_embedding_lsh_near_duplicates(spark):
         df, "vec_id", dim=4, threshold=0.99, n_planes=4
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_asof_join(spark):
+    from data2neo_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "q1"), (1, 205, "q2"), (2, 150, "q3"), (3, 50, "q4")],
+        "key long, ts long, q string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 200, "b"), (2, 150, "c")],
+        "key long, ts long, v string",
+    )
+    got = {
+        (r["key"], r["ts"], r["v_right"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["key"]).collect()
+    }
+    assert got == {
+        (1, 100, "a", 90),     # latest right <= 100
+        (1, 205, "b", 200),
+        (2, 150, "c", 150),    # tie: right at same ts is visible
+        (3, 50, None, None),   # no right rows for key 3
+    }
+
+
+def test_range_join(spark):
+    from data2neo_spark.operators.temporal import range_join
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts")
+    got = range_join(clicks, errors, "ts", "win_start", "win_end", bucket_seconds=600)
+    # verify against the naive inequality join
+    naive = clicks.join(
+        errors,
+        (F.col("ts") >= F.col("win_start")) & (F.col("ts") <= F.col("win_end")),
+    )
+    assert got.count() == naive.count() > 0
+    a = {(r["event_id"], r["err_id"]) for r in got.collect()}
+    b = {(r["event_id"], r["err_id"]) for r in naive.collect()}
+    assert a == b
