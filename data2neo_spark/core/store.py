@@ -297,3 +297,32 @@ class GraphStore:
 
     def save_triples(self, path: str) -> None:
         self.triples().write.mode("overwrite").parquet(path)
+
+    def save_bucketed(self, table_prefix: str, buckets: int = 64) -> None:
+        """Persist nodes/edges as BUCKETED managed tables (nodes by _uid,
+        edges by _src_uid): downstream MATCH joins and endpoint resolutions
+        on the bucket key co-locate without a shuffle — the standing-graph
+        layout for repeated incremental runs at 100TB scale."""
+        if self._nodes is not None:
+            (
+                self._nodes.write.mode("overwrite")
+                .bucketBy(buckets, L.UID)
+                .sortBy(L.UID)
+                .saveAsTable(f"{table_prefix}_nodes")
+            )
+        if self._edges is not None:
+            (
+                self._edges.write.mode("overwrite")
+                .bucketBy(buckets, L.SRC_UID)
+                .sortBy(L.SRC_UID)
+                .saveAsTable(f"{table_prefix}_edges")
+            )
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, table_prefix: str) -> "GraphStore":
+        store = cls(spark)
+        if spark.catalog.tableExists(f"{table_prefix}_nodes"):
+            store._nodes = spark.table(f"{table_prefix}_nodes")
+        if spark.catalog.tableExists(f"{table_prefix}_edges"):
+            store._edges = spark.table(f"{table_prefix}_edges")
+        return store

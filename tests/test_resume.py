@@ -85,3 +85,27 @@ ENTITY("T"):
     # replaying run 1 changes nothing (resume idempotence)
     Converter(schema, [("T", spark.createDataFrame(batch))], store=store, run_id=1)(spark)
     assert store.edges.count() == 2
+
+
+def test_bucketed_save_load(spark, tmp_path):
+    """Bucketed managed-table layout: reload joins on the bucket key without
+    a shuffle on the bucketed side."""
+    v1 = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+    store = GraphStore(spark)
+    Converter(SCHEMA, [("T", spark.createDataFrame(v1))], store=store)(spark)
+    store.save_bucketed("bucketed_test", buckets=4)
+    try:
+        re = GraphStore.load_bucketed(spark, "bucketed_test")
+        assert re.nodes.count() == 3
+        # join on the bucket key: the bucketed side must not re-shuffle
+        probe = re.nodes.select("_uid").limit(2)
+        joined = re.nodes.join(probe.hint("merge"), "_uid")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert joined.count() == 2
+        # the bucketed scan reports its bucket layout
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_test_nodes")
+        spark.sql("DROP TABLE IF EXISTS bucketed_test_edges")
