@@ -125,6 +125,11 @@ class _Element:
     def set_primary_key(self, key: Any) -> None:
         self.__primarykey__ = key
 
+    def __or__(self, other: Any) -> "Subgraph":
+        # py2neo-style algebra: n1 | n2 | r1 builds a Subgraph (reference
+        # test_match.py:36 fixture)
+        return Subgraph._as_subgraph(self) | other
+
 
 class Node(_Element):
     """A property-graph node.

@@ -186,6 +186,144 @@ class GraphStore:
             df = df.join(F.broadcast(dst), df[L.DST_UID] == F.col("__dst_match"), "left_semi")
         return df
 
+    # --- subgraph create / merge (reference neo4j/__init__.py create/merge) ---
+
+    def _subgraph_frames(self, subgraph, merge_mode: bool):
+        """Python Subgraph → canonical (nodes_df, edges_df). Driver-side by
+        design: this API is for hand-built graphs (tests, small fixes); bulk
+        data goes through the Converter."""
+        import time as _time
+
+        import pandas as pd
+
+        from ..core.graph_elements import GhostPrimaryKey
+
+        nonce = str(_time.time_ns())
+        node_rows = []
+        for i, n in enumerate(subgraph.nodes):
+            pk = n.__primarykey__ if isinstance(n.__primarykey__, str) else None
+            props = {k: v for k, v in n.properties.items() if v is not None}
+            node_rows.append({
+                "_local": i,
+                "_labels_l": list(n.labels),
+                "_plabel_l": n.__primarylabel__,
+                "_pk_prop_l": pk if merge_mode else None,
+                "_pk_val_l": str(props[pk]) if (merge_mode and pk) else None,
+                **props,
+            })
+        def _df_with_nullable_strings(rows, string_cols):
+            # pandas astype("string") would turn None into the literal
+            # "<NA>" on conversion — instead DROP entirely-null columns
+            # (schema inference chokes on them) and re-add typed nulls
+            pdf = pd.DataFrame(rows)
+            dropped = [c for c in string_cols if pdf[c].isna().all()]
+            df = self.spark.createDataFrame(pdf.drop(columns=dropped))
+            for c in dropped:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+            return df
+
+        ndf = _df_with_nullable_strings(
+            node_rows, ("_plabel_l", "_pk_prop_l", "_pk_val_l")
+        )
+        uid = F.when(
+            F.col("_pk_val_l").isNotNull(),
+            F.xxhash64(F.col("_plabel_l"), F.col("_pk_prop_l"), F.col("_pk_val_l")),
+        ).otherwise(F.xxhash64(F.lit(nonce), F.col("_local")))
+        prop_cols = [c for c in ndf.columns
+                     if c not in ("_local", "_labels_l", "_plabel_l",
+                                  "_pk_prop_l", "_pk_val_l")]
+        nodes_df = ndf.select(
+            uid.alias(L.UID),
+            F.col("_labels_l").alias(L.LABELS),
+            F.col("_plabel_l").alias(L.PLABEL),
+            F.col("_pk_prop_l").alias(L.PKPROP),
+            F.col("_pk_val_l").alias(L.PKVAL),
+            F.lit(-1).cast("long").alias(L.SEQ_SRC),
+            F.col("_local").cast("long").alias(L.SEQ_ROW),
+            *[F.col(c) for c in prop_cols],
+        )
+
+        rels = subgraph.relationships
+        if not rels:
+            return nodes_df, None
+        uid_map = {
+            r["_l"]: (r["u"], r["pl"], r["pv"])
+            for r in nodes_df.select(
+                F.col(L.SEQ_ROW).alias("_l"), F.col(L.UID).alias("u"),
+                F.col(L.PLABEL).alias("pl"), F.col(L.PKVAL).alias("pv"),
+            ).collect()
+        }
+        local_of = {id(n): i for i, n in enumerate(subgraph.nodes)}
+        edge_rows = []
+        for j, rel in enumerate(rels):
+            pk = rel.__primarykey__
+            ghost = isinstance(pk, GhostPrimaryKey)
+            pk = pk if isinstance(pk, str) else None
+            props = {k: v for k, v in rel.properties.items() if v is not None}
+            su, sl, sk = uid_map[local_of[id(rel.start_node)]]
+            du, dl, dk = uid_map[local_of[id(rel.end_node)]]
+            edge_rows.append({
+                "_j": j, "_su": su, "_type": rel.type, "_du": du,
+                "_sl": sl, "_sk": sk, "_dl": dl, "_dk": dk,
+                "_pk": pk, "_ghost": ghost or (merge_mode and pk is None),
+                "_pkval": str(props[pk]) if pk else None,
+                **props,
+            })
+        edf = _df_with_nullable_strings(
+            edge_rows, ("_sk", "_dk", "_pk", "_pkval", "_sl", "_dl")
+        )
+        eid = (
+            F.when(F.col("_pk").isNotNull(),
+                   F.xxhash64(F.col("_su"), F.col("_type"), F.col("_du"),
+                              F.col("_pk"), F.col("_pkval")))
+            .when(F.col("_ghost"),
+                  F.xxhash64(F.col("_su"), F.col("_type"), F.col("_du")))
+            .otherwise(F.xxhash64(F.lit(nonce + "e"), F.col("_j")))
+        )
+        eprops = [c for c in edf.columns
+                  if c not in ("_j", "_su", "_type", "_du", "_sl", "_sk",
+                               "_dl", "_dk", "_pk", "_ghost", "_pkval")]
+        edges_df = edf.select(
+            eid.alias(L.EID),
+            F.col("_su").alias(L.SRC_UID),
+            F.col("_type").alias(L.RELTYPE),
+            F.col("_du").alias(L.DST_UID),
+            F.col("_sl").alias(L.SRC_LABEL),
+            F.col("_sk").alias(L.SRC_KEY),
+            F.col("_dl").alias(L.DST_LABEL),
+            F.col("_dk").alias(L.DST_KEY),
+            F.col("_pk").alias(L.PKPROP),
+            F.lit(-1).cast("long").alias(L.SEQ_SRC),
+            F.col("_j").cast("long").alias(L.SEQ_ROW),
+            *[F.col(c) for c in eprops],
+        )
+        return nodes_df, edges_df
+
+    def _absorb(self, nodes_df, edges_df) -> None:
+        from ..core.types import union_wide
+
+        parts = [self._nodes, nodes_df] if self._nodes is not None else [nodes_df]
+        self.set_nodes(L.merge_elements(union_wide(parts), L.NODE_META, L.UID))
+        if edges_df is not None or self._edges is not None:
+            eparts = [p for p in (self._edges, edges_df) if p is not None]
+            self.set_edges(L.merge_elements(union_wide(eparts), L.EDGE_META, L.EID))
+
+    def create(self, subgraph) -> None:
+        """Write a python-built Subgraph as new elements (reference
+        neo4j create: duplicates allowed, fresh identities)."""
+        self._absorb(*self._subgraph_frames(subgraph, merge_mode=False))
+
+    def merge(self, subgraph) -> None:
+        """Merge a python-built Subgraph on primary keys (reference neo4j
+        merge: upsert on (label, pk); relationships on (src, type, dst[, pk]))."""
+        for n in subgraph.nodes:
+            if not isinstance(n.__primarykey__, str):
+                raise ValueError(
+                    "merge requires a primary key on every node "
+                    f"(missing on {n!r})"
+                )
+        self._absorb(*self._subgraph_frames(subgraph, merge_mode=True))
+
     # --- single-element push / pull (reference graph_elements.py:285-336) ---
 
     def push(self, node) -> None:
