@@ -40,6 +40,7 @@ from .sources.iterators import (
     SQLiteIterator,
 )
 from .session import build_session
+from .utils import load_file
 from .schema.parser import parse_schema, SchemaConfigException
 from .schema.compiler import compile_schema
 
@@ -66,6 +67,7 @@ __all__ = [
     "compile_schema",
     "SchemaConfigException",
     "build_session",
+    "load_file",
     "register_attribute_postprocessor",
     "register_attribute_preprocessor",
     "register_subgraph_postprocessor",

@@ -136,10 +136,21 @@ class Converter:
             out.append((etype, df))
         return out
 
-    def __call__(self, spark: Optional[SparkSession] = None) -> GraphStore:
-        return self.run(spark)
+    def __call__(
+        self,
+        spark: Optional[SparkSession] = None,
+        skip_nodes: bool = False,
+        skip_relationships: bool = False,
+    ) -> GraphStore:
+        return self.run(spark, skip_nodes=skip_nodes,
+                        skip_relationships=skip_relationships)
 
-    def run(self, spark: Optional[SparkSession] = None) -> GraphStore:
+    def run(
+        self,
+        spark: Optional[SparkSession] = None,
+        skip_nodes: bool = False,
+        skip_relationships: bool = False,
+    ) -> GraphStore:
         if spark is None:
             spark = SparkSession.getActiveSession()
         if self.store is None:
@@ -159,7 +170,7 @@ class Converter:
                 enriched.append((etype, df))
                 continue
             current = df
-            if etype in self.schema.node_mask:
+            if etype in self.schema.node_mask and not skip_nodes:
                 for rule in rules.node_rules:
                     if dyn.needs_dynamic(rule):
                         long_df = dyn.lower_node_rule_dynamic(current, rule).persist()
@@ -244,6 +255,9 @@ class Converter:
         )
         edge_parts: List[DataFrame] = list(dyn_edge_parts)
         edge_merge_flags: List[bool] = [True] * len(dyn_edge_parts)
+        if skip_relationships:
+            store.log_stage("run", wall_s=round(time.time() - t0, 3))
+            return store
         for etype, df in enriched:
             rules = self.schema.entities.get(etype)
             if rules is None or etype not in self.schema.relationship_mask:

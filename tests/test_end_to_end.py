@@ -215,3 +215,23 @@ def test_partitioning_invariance(spark):
         store = Converter(SCHEMA, pairs)(spark)
         assert node_set(store.nodes) == expected_nodes
         assert sorted(edge_set(store), key=repr) == expected_edges
+
+
+def test_skip_phases(spark):
+    """Reference converter(skip_nodes=..., skip_relationships=...)
+    (converter.py:349-355)."""
+    store = GraphStore(spark)
+    conv = Converter(SCHEMA, [
+        ("Flower", spark.createDataFrame(IRIS)),
+        ("Person", spark.createDataFrame(NO_DUPLICATES)),
+    ], store=store)
+    conv(spark, skip_relationships=True)
+    assert store.nodes.count() > 0
+    assert store.edges is None
+    # second pass: relationships only, against the existing node table
+    conv2 = Converter(SCHEMA, [
+        ("Flower", spark.createDataFrame(IRIS)),
+        ("Person", spark.createDataFrame(NO_DUPLICATES)),
+    ], store=store)
+    conv2(spark, skip_nodes=True)
+    assert store.match_relationships("likes").count() == 4
