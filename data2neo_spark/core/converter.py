@@ -40,8 +40,19 @@ from .store import GraphStore
 
 logger = logging.getLogger(__name__)
 
-# below this many nodes the MATCH join broadcasts the node table
+# broadcast the node table into MATCH joins while its estimated size is
+# under this many bytes (plan statistics; parquet-backed stores report file
+# size, in-memory stores the cached size). The old row-count limit remains
+# the fallback when statistics are unavailable — a row count alone is the
+# wrong unit: 2M rows of wide properties can blow the driver.
+BROADCAST_BYTES_LIMIT = 256 * 1024 * 1024
 BROADCAST_NODE_LIMIT = 2_000_000
+# shuffle-join fallback: salt MATCH joins with this many buckets unless the
+# caller chose a value (0 would leave hub-entity keys to a single reducer,
+# with only AQE skew-split as a backstop)
+DEFAULT_SALT_BUCKETS = 8
+# plan statistics sentinel for "unknown" (Long.MaxValue-ish)
+_STATS_UNKNOWN = 1 << 60
 
 
 class Converter:
@@ -66,6 +77,8 @@ class Converter:
         batch_size: Optional[int] = None,
         run_id: int = 0,
         match_salt_buckets: int = 0,
+        broadcast_nodes: Optional[bool] = None,
+        broadcast_bytes_limit: int = BROADCAST_BYTES_LIMIT,
     ) -> None:
         if serialize and num_workers is not None and num_workers > 1:
             raise ValueError(
@@ -89,6 +102,13 @@ class Converter:
         # A7: salt MATCH joins when the node table is too big to broadcast
         # and hub keys would otherwise produce straggler reducers
         self.match_salt_buckets = match_salt_buckets
+        # None = decide from plan statistics (bytes) at run time; True/False
+        # forces the MATCH join strategy (tests, deliberately-wide tables)
+        self.broadcast_nodes = broadcast_nodes
+        self.broadcast_bytes_limit = broadcast_bytes_limit
+        # sequenced sources (and dynamic-path long frames) persisted for
+        # row-id determinism; released at the end of run()
+        self._persisted: List[DataFrame] = []
 
     # --------------------------------------------------------------------
 
@@ -103,7 +123,40 @@ class Converter:
                 "depends on it"
             )
             return True
-        return "Exchange" in plan
+        # only SHUFFLE exchanges make per-partition row ids execution-
+        # dependent; broadcast exchanges don't repartition the probe side
+        return "Exchange" in plan.replace("BroadcastExchange", "")
+
+    @staticmethod
+    def _obs_value(obs, key: str, retries: int = 20):
+        """Non-blocking Observation read: the blocking ``obs.get`` deadlocks
+        inside ``foreachBatch`` micro-batches for CollectMetrics nodes below
+        an aggregation (the listener never fires there) — poll the JVM-side
+        ``getOrEmptyAsJava`` with a short bounded retry instead and treat a
+        missing metric as unknown."""
+        for _ in range(retries):
+            try:
+                opt = obs._jo.getRowOrEmpty()
+                if opt.isDefined():
+                    row = opt.get()
+                    idx = row.fieldIndex(key)
+                    return None if row.isNullAt(idx) else row.get(idx)
+            except Exception:
+                return None
+            time.sleep(0.05)
+        return None
+
+    @staticmethod
+    def _estimated_bytes(df: DataFrame) -> Optional[int]:
+        """Optimizer size estimate in bytes, or None when unavailable."""
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes().toString()
+            )
+        except Exception:
+            return None
+        return est if 0 <= est < _STATS_UNKNOWN else None
 
     def _resolve_sources(self, spark: SparkSession) -> List[Tuple[str, DataFrame]]:
         it = self.iterator
@@ -133,8 +186,27 @@ class Converter:
                 and self._plan_has_shuffle(df)
             ):
                 df = df.persist()
+                self._persisted.append(df)
             out.append((etype, df))
         return out
+
+    def _release_sources(self, store: GraphStore) -> None:
+        """Unpersist sequenced sources once nothing lazy references them.
+
+        Disk-backed stores re-read their tables from parquet, so lineage to
+        the sources is cut at materialization → unpersist now. In-memory
+        stores may hold a LAZY edge plan that still reads the sources — hand
+        them to the store, which releases them when the edge table is next
+        materialized. (Without this, stream_pages_to_graph — one Converter
+        per micro-batch — accumulated cached sources unboundedly.)"""
+        if not self._persisted:
+            return
+        if store.path is not None:
+            for df in self._persisted:
+                df.unpersist()
+        else:
+            store.adopt_persisted(self._persisted)
+        self._persisted = []
 
     def __call__(
         self,
@@ -164,6 +236,8 @@ class Converter:
         node_merge_flags: List[bool] = []
         dyn_edge_parts: List[DataFrame] = []
         enriched: List[Tuple[str, DataFrame]] = []
+        null_pk_obs: List[Tuple[str, object]] = []
+        _KEEP = "_sg_keep"
         for etype, df in sources:
             rules = self.schema.entities.get(etype)
             if rules is None:
@@ -174,6 +248,7 @@ class Converter:
                 for rule in rules.node_rules:
                     if dyn.needs_dynamic(rule):
                         long_df = dyn.lower_node_rule_dynamic(current, rule).persist()
+                        self._persisted.append(long_df)
                         nodes_part, extra_edges = dyn.dynamic_to_canonical(long_df, rule)
                         node_parts.append(nodes_part)
                         # dynamic rules may merge via wrapper-assigned pks
@@ -181,15 +256,34 @@ class Converter:
                         if extra_edges is not None:
                             dyn_edge_parts.append(extra_edges)
                     else:
-                        node_parts.append(L.lower_node_rule(current, rule))
+                        node_parts.append(
+                            L.lower_node_rule(current, rule, observations=null_pk_obs)
+                        )
                         node_merge_flags.append(rule.primary_key is not None)
-                    # preprocessor mutations persist for later rules + pass 2
-                    current = L.propagate_sg_pre_mutations(current, rule.wrappers)
-            # attach same-row identifier columns (supplies) for pass 2
-            enriched_df = current
-            for rule in rules.node_rules:
-                enriched_df = L.attach_identifier_columns(enriched_df, rule)
-            enriched.append((etype, enriched_df))
+                    # preprocessor mutations persist for later rules + pass 2;
+                    # the identifier (supplies) columns are derived HERE, from
+                    # the same row state lower_node_rule saw — a later rule
+                    # mutating this rule's pk input must not skew the supply
+                    # uid, and rows this rule's preprocessor dropped carry a
+                    # NULL uid (no node was created → no edge in pass 2)
+                    if rule.identifier is not None and L.has_sg_pre(rule.wrappers):
+                        current = L.propagate_sg_pre_mutations(
+                            current, rule.wrappers, keep_col=_KEEP
+                        )
+                        current = L.attach_identifier_columns(
+                            current, rule, keep_col=_KEEP
+                        ).drop(_KEEP)
+                    else:
+                        current = L.propagate_sg_pre_mutations(current, rule.wrappers)
+                        current = L.attach_identifier_columns(current, rule)
+                enriched.append((etype, current))
+            else:
+                # nodes skipped this phase (skip_nodes / masked): supplies
+                # are still addressable from the raw row state
+                enriched_df = current
+                for rule in rules.node_rules:
+                    enriched_df = L.attach_identifier_columns(enriched_df, rule)
+                enriched.append((etype, enriched_df))
 
         if node_parts or store.nodes is not None:
             existing = None
@@ -245,18 +339,43 @@ class Converter:
                     n_nodes=obs.get.get("rows"),
                     wall_s=round(time.time() - t0, 3),
                 )
+                # null-pk drop counters rode the same action (A6 pattern);
+                # merge-mode data loss must be observable (reference raises
+                # per row, graph_elements.py:251-252)
+                for rule_id, drop_obs in null_pk_obs:
+                    dropped = self._obs_value(drop_obs, "null_pk_rows")
+                    if dropped:
+                        logger.warning(
+                            "rule %s: dropped %d rows with NULL primary key",
+                            rule_id, dropped,
+                        )
+                        store.log_stage(
+                            "null_pk_dropped", rule=rule_id, n_rows=dropped
+                        )
 
         # ---------------- pass 2: relationships ------------------------
         t1 = time.time()
-        broadcast_nodes = (
-            store.nodes is not None
-            and store.is_materialized
-            and store.node_count <= BROADCAST_NODE_LIMIT
-        )
+        have_nodes = store.nodes is not None and store.is_materialized
+        if self.broadcast_nodes is not None:
+            broadcast_nodes = self.broadcast_nodes and have_nodes
+        elif have_nodes:
+            est = self._estimated_bytes(store.nodes)
+            if est is not None:
+                broadcast_nodes = est <= self.broadcast_bytes_limit
+            else:
+                broadcast_nodes = store.node_count <= BROADCAST_NODE_LIMIT
+        else:
+            broadcast_nodes = False
+        # shuffle-join fallback: default to salted joins so hub entities
+        # spread over reducers (A7) instead of relying on AQE alone
+        salt_buckets = self.match_salt_buckets
+        if not broadcast_nodes and have_nodes and salt_buckets == 0:
+            salt_buckets = DEFAULT_SALT_BUCKETS
         edge_parts: List[DataFrame] = list(dyn_edge_parts)
         edge_merge_flags: List[bool] = [True] * len(dyn_edge_parts)
         if skip_relationships:
             store.log_stage("run", wall_s=round(time.time() - t0, 3))
+            self._release_sources(store)
             return store
         for etype, df in enriched:
             rules = self.schema.entities.get(etype)
@@ -265,7 +384,7 @@ class Converter:
             for rule in rules.rel_rules:
                 part = L.lower_rel_rule(
                     df, rule, store.nodes, broadcast_nodes,
-                    self.match_salt_buckets,
+                    salt_buckets,
                 )
                 part = dyn.apply_rel_postprocessors_dynamic(part, rule)
                 edge_parts.append(part)
@@ -307,4 +426,5 @@ class Converter:
                     )
 
         store.log_stage("run", wall_s=round(time.time() - t0, 3))
+        self._release_sources(store)
         return store

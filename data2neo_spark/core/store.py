@@ -44,6 +44,10 @@ class GraphStore:
         self.is_materialized = True
         # superseded in-memory cached tables, unpersisted on replacement
         self._cached: Dict[str, DataFrame] = {}
+        # persisted upstream frames (sequenced converter sources) that a
+        # LAZY edge plan may still reference; released when the edge table
+        # is next materialized (Converter._release_sources)
+        self._adopted: List[DataFrame] = []
         if path is not None:
             os.makedirs(path, exist_ok=True)
             for name in ("nodes", "edges"):
@@ -88,7 +92,18 @@ class GraphStore:
     def set_edges(self, df: DataFrame, materialize: bool = True) -> None:
         if materialize:
             df = self._materialize(df, "edges")
+            # the materialized edge table no longer references converter
+            # sources — release any adopted upstream caches
+            for adopted in self._adopted:
+                adopted.unpersist()
+            self._adopted = []
         self._edges = df
+
+    def adopt_persisted(self, dfs: List[DataFrame]) -> None:
+        """Take ownership of persisted upstream frames still referenced by a
+        lazy edge plan; they are unpersisted at the next edge
+        materialization."""
+        self._adopted.extend(dfs)
 
     def _partition_lineage(self, df: DataFrame, name: str) -> None:
         """Per-partition row counts of a materialized table → lineage dir

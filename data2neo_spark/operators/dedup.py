@@ -3,21 +3,53 @@ embedding-cosine near-dup.
 
 Scale notes (the point of this module):
 * exact dedup is ONE hash-shuffle (groupBy md5) — map-side partial agg free;
-* n-gram Jaccard joins on shingles, never doc×doc — the self-join explodes
-  only where documents actually share shingles;
+* n-gram Jaccard generates candidates from document-frequency-capped
+  shingles (a shingle shared by k docs materializes k² candidate rows, so
+  hot shingles are excluded from candidate generation — never from the
+  exact verification);
 * MinHash+LSH banding turns all-pairs into per-bucket joins; candidate pairs
   are verified with exact Jaccard afterwards (classic two-phase);
+* SimHash blocking derives its chunk count from ``max_hamming`` via the
+  pigeonhole principle, so recall is guaranteed, not approximate;
 * all of it is native Column expressions — no python in the hot path.
+
+Hash family: every signature here is built from ``md5_hash60`` — the leading
+60 bits of md5 — NOT xxhash64, deliberately: md5 is bit-identical across
+engines, so the DuckDB oracle replays the full MinHash/SimHash pipeline and
+verifies candidates + verdicts value-for-value (no "trust me" rows-only
+checks). The md5-per-shingle cost is paid ONCE; the 64 MinHash functions are
+derived from it with a cheap affine family (a_i·h + b_i mod p).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import word_shingles
+
+# affine hash-family moduli: largest prime < 2^30 (keeps a_i * h < 2^60,
+# no 64-bit overflow) and the Mersenne prime 2^31-1
+P30 = 1_073_741_789
+P31 = 2_147_483_647
+
+
+def md5_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long.
+
+    Cross-engine reproducible: DuckDB equivalent is
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def affine_coeffs(i: int) -> Tuple[int, int]:
+    """Seeded coefficients of the i-th MinHash function (pure arithmetic so
+    the SQL oracle derives the same values from i)."""
+    a = ((2 * i + 1) * 2654435761) % P30
+    b = ((i + 12345) * 1103515245) % P30
+    return a, b
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -31,27 +63,31 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
+def _verified_jaccard(
+    sh: DataFrame,
+    cand: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_id: Optional[int] = None,
+    threshold: float,
 ) -> DataFrame:
-    """All document pairs with n-gram Jaccard ≥ threshold.
+    """Exact Jaccard over candidate pairs: (id_a, id_b, jaccard ≥ threshold).
 
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4dp.
-    """
-    if max_id is not None:
-        df = df.where(F.col(id_col) < max_id)
-    sh = word_shingles(df, id_col, text_col, n)
+    Restricts BOTH shingle sides to candidate documents BEFORE the
+    shingle self-join — otherwise a hot shingle shared by k docs
+    materializes ~k²/2 rows and the self-join re-creates the all-pairs
+    explosion the candidate stage exists to avoid. (Catalyst cannot push a
+    pair-level semi-join below the join by itself.)"""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cand_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+    cand_b = cand.select(F.col("id_b").alias(id_col)).distinct()
+    a = sh.join(cand_a, id_col, "left_semi").select(
+        F.col(id_col).alias("id_a"), "shingle"
+    )
+    b = sh.join(cand_b, id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"), "shingle"
+    )
     inter = (
         a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -73,6 +109,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_id: Optional[int] = None,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Document pairs with n-gram Jaccard ≥ threshold.
+
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4dp.
+
+    ``max_shingle_df``: candidate pairs are generated only from shingles
+    shared by at most this many documents — the scale guard (a shingle in k
+    docs emits k² candidate rows; without a cap one boilerplate shingle can
+    re-create the all-pairs join). Verification still uses ALL shingles of
+    the candidate documents, so the reported jaccard is exact; only pairs
+    whose ENTIRE overlap consists of ultra-hot shingles are missed, and
+    those are boilerplate, not duplicates. None = unbounded (exact
+    recall; only safe on small/capped inputs).
+    """
+    if max_id is not None:
+        df = df.where(F.col(id_col) < max_id)
+    sh = word_shingles(df, id_col, text_col, n)
+    cand_src = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_src = sh.join(rare, "shingle", "left_semi")
+    a = cand_src.select(F.col(id_col).alias("id_a"), "shingle")
+    b = cand_src.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_jaccard(sh, cand, id_col, threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -82,13 +163,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over word shingles.
 
-    Hash family: xxhash64(seed_i, shingle) — num_hashes aggregations in ONE
-    groupBy pass (map-side combine keeps the shuffle at one row per doc)."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    One md5 per shingle, then ``num_hashes`` affine functions
+    (a_i·h + b_i mod 2^31-1) as aggregations in ONE groupBy pass (map-side
+    combine keeps the shuffle at one row per doc). The family is
+    SQL-reproducible — the DuckDB oracle replays identical signatures."""
+    sh = word_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "_h", md5_hash60(F.col("shingle")) % P30
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = affine_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % P31).alias(f"h{i}")
+        )
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
@@ -114,7 +201,7 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: md5_hash60(
                     F.concat_ws(
                         ",",
                         F.transform(
@@ -148,87 +235,76 @@ def minhash_lsh_duplicates(
     """Candidates from LSH, verified with exact Jaccard ≥ threshold."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     sh = word_shingles(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # restrict BOTH shingle sides to candidate documents BEFORE the
-    # self-join — otherwise a hot shingle shared by k docs materializes
-    # ~k²/2 rows and the self-join re-creates the all-pairs explosion LSH
-    # exists to avoid. (Catalyst cannot push a pair-level semi-join below
-    # the join by itself.)
-    cand_a = cand.select(F.col("id_a").alias(id_col)).distinct()
-    cand_b = cand.select(F.col("id_b").alias(id_col)).distinct()
-    a = sh.join(cand_a, id_col, "left_semi").select(
-        F.col(id_col).alias("id_a"), "shingle"
-    )
-    b = sh.join(cand_b, id_col, "left_semi").select(
-        F.col(id_col).alias("id_b"), "shingle"
-    )
-    inter = (
-        a.join(b, "shingle")
-        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_jaccard(sh, cand.select("id_a", "id_b"), id_col, threshold)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: (id, simhash long).
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash over word tokens: (id, simhash long), default 60 bits.
 
-    Per-bit weighted sums as 64 native aggregations in one groupBy (no UDF).
+    Per-bit weighted sums as ``bits`` native aggregations in one groupBy (no
+    UDF). Token hash = md5_hash60, so the signature is bit-identical in the
+    DuckDB oracle; 60 bits keep the value non-negative in a signed long (no
+    sign-bit special case).
     """
-    def mask(i: int) -> int:
-        # signed-64 masks: bit 63 is the sign bit in a JVM long
-        return (1 << i) if i < 63 else -(1 << 63)
-
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    ).withColumn("h", F.xxhash64(F.col("word")))
+    ).withColumn("h", md5_hash60(F.col("word")))
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     per_bit = tok.groupBy(id_col).agg(*aggs)
-    sim = None
+    sim = F.lit(0).cast("long")
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(mask(i))).otherwise(F.lit(0))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return per_bit.select(F.col(id_col), sim.cast("long").alias("simhash"))
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_bit.select(F.col(id_col), sim.alias("simhash"))
+
+
+def _chunk_bounds(bits: int, n_chunks: int) -> List[Tuple[int, int]]:
+    """(offset, width) per chunk, distributing bits as evenly as possible."""
+    base, extra = divmod(bits, n_chunks)
+    bounds = []
+    off = 0
+    for j in range(n_chunks):
+        width = base + (1 if j < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Blocking: 4 × 16-bit chunks — two near-dup hashes (≤3 differing bits)
-    must agree on at least one chunk, so candidates join per chunk bucket
-    instead of all-pairs."""
-    sh = simhash(df, id_col, text_col)
+    Blocking: ``max_hamming + 1`` chunks — by pigeonhole, two hashes with
+    ≤ max_hamming differing bits MUST agree on at least one chunk, so recall
+    is exact while candidates join per chunk bucket instead of all-pairs.
+    (The old fixed 4×16-bit blocking silently lost recall for
+    max_hamming > 3.) Wider max_hamming ⇒ narrower chunks ⇒ hotter buckets:
+    at extreme corpus sizes raise ``bits`` rather than max_hamming."""
+    n_chunks = max_hamming + 1
+    sh = simhash(df, id_col, text_col, bits)
     chunks = sh.select(
         F.col(id_col),
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
+                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for off, width in _chunk_bounds(bits, n_chunks)
             ])
         ).alias("chunk_idx", "chunk"),
     )
@@ -288,7 +364,11 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     max_id: Optional[int] = None,
 ) -> DataFrame:
-    """Cosine near-dup pairs (id_a, id_b, cos rounded 4dp) ≥ threshold."""
+    """Cosine near-dup pairs (id_a, id_b, cos rounded 4dp) ≥ threshold.
+
+    EXACT all-pairs (non-equi nested-loop join) — the oracle/verification
+    slice, deliberately gated by ``max_id``; the scale path is
+    :func:`embedding_near_duplicates_lsh`."""
     from .similarity import cosine_expr, with_norm
 
     if max_id is not None:

@@ -31,7 +31,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("kind", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
-    T.StructField("sha1", T.StringType()),
+    T.StructField("sha256", T.StringType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
@@ -45,8 +45,8 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
 
 
 def _fake_feature(payload: bytes, dim: int = 8):
-    """Deterministic fake embedding: sha1-seeded byte statistics."""
-    digest = hashlib.sha1(payload or b"").digest()
+    """Deterministic fake embedding: sha256-seeded byte statistics."""
+    digest = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in digest[:dim]]
 
 
@@ -64,7 +64,7 @@ def extract_features(
     # NOTE: the closure must be self-contained (stdlib-only references) —
     # executor python workers in a foreign harness may not have this package
     # on sys.path, and cloudpickle resolves module globals by import.
-    out_cols = ["media_id", "kind", "n_bytes", "sha1", "feature"]
+    out_cols = ["media_id", "kind", "n_bytes", "sha256", "feature"]
     feat_dim = dim
     do_fake = fake_feature
 
@@ -81,12 +81,13 @@ def extract_features(
                         "image decode requires an imaging library; use "
                         "fake_feature=True for the deterministic test path"
                     )
-                digest = _hashlib.sha1(payload).digest()
+                # sha256: oracle-reproducible (DuckDB has sha256, not sha1)
+                digest = _hashlib.sha256(payload).digest()
                 out.append({
                     "media_id": rec["media_id"],
                     "kind": rec["kind"],
                     "n_bytes": len(payload),
-                    "sha1": _hashlib.sha1(payload).hexdigest(),
+                    "sha256": digest.hex(),
                     "feature": [b / 255.0 for b in digest[:feat_dim]],
                 })
             yield _pd.DataFrame(out, columns=out_cols)

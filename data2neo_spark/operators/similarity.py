@@ -87,34 +87,52 @@ def ivf_ann_topk(
     n_probe: int = 2,
     sample_size: int = 2000,
     seed: int = 42,
+    centroid_strategy: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse k-means cells, probe the n_probe
-    nearest cells per query, exact re-rank inside them.
+    """IVF (inverted-file) ANN: coarse cells, probe the n_probe nearest
+    cells per query, exact re-rank inside them.
 
-    Centroids are trained driver-side on a bounded deterministic sample
-    (numpy Lloyd iterations — the sample is small by construction, the
-    assignment pass over the full corpus is distributed Column math). At
-    100 TB the corpus side shuffles ONCE on cell id; queries broadcast.
+    ``centroid_strategy``:
+    * ``"kmeans"`` (default) — centroids trained driver-side on a bounded
+      deterministic sample (numpy Lloyd iterations — the sample is small by
+      construction, the assignment pass over the full corpus is distributed
+      Column math).
+    * ``"rows"`` — centroids are the corpus vectors with id < n_cells: no
+      training pass, fully SQL-reproducible (the DuckDB oracle replays the
+      identical assignment), coarser cells. The IVF structure — one corpus
+      shuffle on cell id, broadcast queries — is the same.
+
+    At 100 TB the corpus side shuffles ONCE on cell id; queries broadcast.
     """
     import numpy as np
 
-    sample = np.array(
-        corpus.select(vec_col)
-        .orderBy(F.col(id_col))
-        .limit(sample_size)
-        .toPandas()[vec_col]
-        .tolist(),
-        dtype="float64",
-    )
-    rng = np.random.RandomState(seed)
-    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+    if centroid_strategy == "rows":
+        centroids = np.array(
+            corpus.where(F.col(id_col) < n_cells)
+            .orderBy(F.col(id_col))
+            .select(vec_col)
+            .toPandas()[vec_col]
+            .tolist(),
+            dtype="float64",
+        )
+    else:
+        sample = np.array(
+            corpus.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(sample_size)
+            .toPandas()[vec_col]
+            .tolist(),
+            dtype="float64",
+        )
+        rng = np.random.RandomState(seed)
+        centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+        for _ in range(10):  # Lloyd iterations on the sample
+            d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(centroids)):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
 
     with_d = corpus.select("*", *[
         F.aggregate(
@@ -128,21 +146,18 @@ def ivf_ann_topk(
         ).alias(f"_d{ci}")
         for ci, cen in enumerate(centroids)
     ])
-    dist_arr = F.array(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    # rank cells by (distance, index): one struct array sort — O(c log c)
+    # per row and deterministic on ties (the old array_position re-scan was
+    # O(c²) and tie-ambiguous)
+    dist_structs = F.array(*[
+        F.struct(F.col(f"_d{i}").alias("d"), F.lit(i + 1).alias("i"))
+        for i in range(len(centroids))
+    ])
     assigned = with_d.withColumn(
         "_cells",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        dist_arr,
-                        lambda d: F.struct(d.alias("d")),
-                    )
-                ),
-                lambda s: F.array_position(dist_arr, s.getField("d")),
-            ),
-            1,
-            n_probe,
+        F.transform(
+            F.slice(F.array_sort(dist_structs), 1, n_probe),
+            lambda s: s.getField("i").cast("long"),
         ),
     ).drop(*[f"_d{i}" for i in range(len(centroids))])
 

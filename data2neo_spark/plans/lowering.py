@@ -324,8 +324,16 @@ def apply_subgraph_preprocessors(
     return df.mapInPandas(_apply, schema=schema)
 
 
+def has_sg_pre(wrappers: List[WrapperApplication]) -> bool:
+    return any(
+        registrar.get_wrapper(w.name).kind == registrar.SG_PRE for w in wrappers
+    )
+
+
 def propagate_sg_pre_mutations(
-    df: DataFrame, wrappers: List[WrapperApplication]
+    df: DataFrame,
+    wrappers: List[WrapperApplication],
+    keep_col: Optional[str] = None,
 ) -> DataFrame:
     """Apply a rule's subgraph-preprocessor *mutations* to the stream WITHOUT
     filtering, so later rules and the relationship pass observe them.
@@ -336,17 +344,29 @@ def propagate_sg_pre_mutations(
     test_wrappers.py::test_subgraph_pre where the relationship sees
     First='Changed' set by a NODE rule's preprocessor. A preprocessor
     returning None skips only its own rule, earlier mutations in the chain
-    stay."""
+    stay.
+
+    ``keep_col``: when given, a boolean column of that name is appended —
+    False for rows a preprocessor dropped (returned None) for THIS rule.
+    The converter uses it to null the rule's identifier (supplies) columns so
+    pass 2 never emits edges to nodes that were never created."""
     pres = []
     for w in wrappers:
         wdef = registrar.get_wrapper(w.name)
         if wdef.kind == registrar.SG_PRE:
             pres.append((wdef.fn, tuple(w.static_args)))
     if not pres:
+        if keep_col is not None:
+            return df.withColumn(keep_col, F.lit(True))
         return df
 
     col_names = [f.name for f in df.schema.fields]
     schema = df.schema
+    if keep_col is not None:
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(keep_col, T.BooleanType())]
+        )
+    out_cols = col_names + ([keep_col] if keep_col is not None else [])
     gstate = _snapshot_gstate()
 
     def _apply(batches):
@@ -355,22 +375,34 @@ def propagate_sg_pre_mutations(
             rows = []
             for row in pdf.to_dict("records"):
                 resource = dict(row)
+                kept = True
                 for fn, sargs in pres:
                     nxt = fn(resource, *sargs)
                     if nxt is None:
+                        kept = False
                         break
                     resource = nxt
-                rows.append({c: resource.get(c) for c in col_names})
-            yield pd.DataFrame(rows, columns=col_names)
+                rec = {c: resource.get(c) for c in col_names}
+                if keep_col is not None:
+                    rec[keep_col] = kept
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return df.mapInPandas(_apply, schema=schema)
 
 
-def lower_node_rule(df: DataFrame, rule: NodeRule) -> DataFrame:
+def lower_node_rule(
+    df: DataFrame, rule: NodeRule, observations: Optional[list] = None
+) -> DataFrame:
     """NODE rule → canonical node-rows DataFrame (one select over df).
 
     Columns: NODE_META + one typed column per schema property.
     df must already carry SEQ_SRC / SEQ_ROW.
+
+    ``observations``: optional list; for merge-mode rules an
+    ``(rule_id, Observation)`` pair counting dropped null-pk rows is
+    appended. The metric rides whatever action first executes the plan —
+    no extra job.
     """
     base = apply_subgraph_preprocessors(df, rule.wrappers)
 
@@ -414,18 +446,37 @@ def lower_node_rule(df: DataFrame, rule: NodeRule) -> DataFrame:
     )
     if pk is not None:
         # a null pk value cannot be merged on; reference raises per row
-        # (graph_elements.py:251-252) — we drop + count via observe
+        # (graph_elements.py:251-252) — we drop, and when the caller passed
+        # an observations list the drop count is surfaced via store.log_stage
+        if observations is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(
+                obs,
+                F.count(F.when(F.col(PKVAL).isNull(), F.lit(1))).alias("null_pk_rows"),
+            )
+            observations.append((rule.rule_id, obs))
         out = out.filter(F.col(PKVAL).isNotNull())
     return out
 
 
-def attach_identifier_columns(df: DataFrame, rule: NodeRule) -> DataFrame:
+def attach_identifier_columns(
+    df: DataFrame, rule: NodeRule, keep_col: Optional[str] = None
+) -> DataFrame:
     """Attach the same-row node reference columns for rule.identifier.
 
     This is the supplies mechanism (reference resource.py:23-27,
     factory.py:292-294) re-expressed as plain columns: the node a row
     produced is addressable by (uid, primary_label, pk_value) computed from
     the row itself — no join, no shuffle.
+
+    The uid is NULL — i.e. the supply is absent, and identifier matchers in
+    pass 2 emit no edge (reference raises KeyError per row,
+    resource.py:23-27) — when the node was never created for this row:
+    either the rule's subgraph preprocessor dropped the row (``keep_col`` is
+    False) or a merge-mode rule saw a null primary-key value (those rows are
+    filtered out of the node table, lower_node_rule).
     """
     if rule.identifier is None:
         return df
@@ -437,10 +488,12 @@ def attach_identifier_columns(df: DataFrame, rule: NodeRule) -> DataFrame:
         spec = next(s for s in rule.attributes if s.key == pk)
         pk_col = attr_column(spec, base, rule.entity_type)
         pkval = python_str_column(pk_col, dtype_of(base, pk_col))
-        uid = F.xxhash64(plabel, F.lit(pk), pkval)
+        uid = F.when(pkval.isNotNull(), F.xxhash64(plabel, F.lit(pk), pkval))
     else:
         pkval = F.lit(None).cast("string")
         uid = F.xxhash64(F.lit(rule.rule_id), F.col(SEQ_SRC), F.col(SEQ_ROW))
+    if keep_col is not None:
+        uid = F.when(F.col(keep_col), uid)
     return (
         base.withColumn(_nid(rule.identifier), uid)
         .withColumn(_nlabel(rule.identifier), plabel)
@@ -474,7 +527,11 @@ def lower_match(
                 f"{match.node_id}"
             )
         return (
-            rows.withColumn(uid_out, F.col(nid))
+            # a null supply uid means the node was never created for this
+            # row (subgraph-pre drop or null merge pk) — no edge, matching
+            # the reference's missing-supply behavior
+            rows.filter(F.col(nid).isNotNull())
+            .withColumn(uid_out, F.col(nid))
             .withColumn(label_out, F.col(_nlabel(match.node_id)))
             .withColumn(key_out, F.col(_nkey(match.node_id)))
         )

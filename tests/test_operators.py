@@ -101,9 +101,9 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["feature"]) == 8 for r in feats)
     assert all(r["n_bytes"] == 64 for r in feats)
     # deterministic across runs
-    again = {r["media_id"]: r["sha1"] for r in
+    again = {r["media_id"]: r["sha256"] for r in
              multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()}
-    assert again == {r["media_id"]: r["sha1"] for r in feats}
+    assert again == {r["media_id"]: r["sha256"] for r in feats}
     # the real-decode path is an explicit stub
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake_feature=False).collect()
