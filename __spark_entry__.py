@@ -2,10 +2,12 @@
 
 ``queries()`` covers the operator inventory of SURVEY.md §2 (names carry the
 operator IDs they exercise) plus the training-data operators (dedup /
-similarity / text analysis / multimodal). ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query; MinHash/SimHash/LSH-ANN and the
-multimodal stub are rows-only by nature (hash-seeded internals DuckDB can't
-reproduce).
+similarity / text analysis / multimodal). ``oracle_sql()`` gives a DuckDB
+equivalent for EVERY query — including MinHash/SimHash (md5-derived hash
+family, replayed in SQL), hyperplane LSH / IVF ANN (seeded planes / row
+centroids inlined as literals), and the multimodal stub (sha256 + byte
+length): the oracle re-runs the same algorithm, so approximate operators are
+verified value-for-value including their recall misses.
 """
 
 from __future__ import annotations
@@ -209,6 +211,179 @@ def _kg_webtext_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mention_triples(_read(spark, sf_dir, "documents"))
 
 
+def _kg_salted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the kg_triples_match workload forced onto the shuffle+salt MATCH
+    path (broadcast disabled, 4 salt buckets) — must hash-match the same
+    oracle as the broadcast plan."""
+    from data2neo_spark import Converter
+
+    schema = """
+ENTITY("orders"):
+    NODE("Order") o:
+        + id = INT(orders.o_orderkey)
+
+ENTITY("part"):
+    NODE("Part") p:
+        + id = INT(part.p_partkey)
+
+ENTITY("lineitem"):
+    RELATIONSHIP(MATCH("Order", id = INT(lineitem.l_orderkey)), "CONTAINS", MATCH("Part", id = INT(lineitem.l_partkey))):
+        - qty = FLOAT(lineitem.l_quantity)
+"""
+    store = Converter(
+        schema,
+        [
+            ("orders", _read(spark, sf_dir, "orders")),
+            ("part", _read(spark, sf_dir, "part")),
+            ("lineitem", _read(spark, sf_dir, "lineitem")),
+        ],
+        broadcast_nodes=False,
+        match_salt_buckets=4,
+    )(spark)
+    return store.triples()
+
+
+def _kg_rel_merge_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 relationship merge on a primary key: one ACTIVE edge per
+    (user, day, kind=event_type) — duplicates collapse via the keyed
+    edge merge (reference test_merge.py:24-39 semantics)."""
+    from data2neo_spark import Converter
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    schema = """
+ENTITY("events"):
+    NODE("User") u:
+        + uid = INT(events.user_id)
+    NODE("Day") d:
+        + day = events.day
+    RELATIONSHIP(u, "ACTIVE", d):
+        + kind = events.event_type
+"""
+    store = Converter(schema, [("events", events)])(spark)
+    return store.match_relationships("ACTIVE").select(
+        F.col("_src_key").alias("user_key"),
+        F.col("_dst_key").alias("day"),
+        "kind",
+    )
+
+
+def _kg_wrappers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 attribute pre/postprocessors + G4 subgraph preprocessor on the
+    columnar path, oracle-verified (reference factory_wrappers.py
+    registration surface, test_wrappers.py semantics)."""
+    from data2neo_spark import (
+        Attribute,
+        Converter,
+        register_attribute_postprocessor,
+        register_attribute_preprocessor,
+        register_subgraph_preprocessor,
+    )
+
+    @register_attribute_postprocessor
+    def oq_upper(attribute):
+        return Attribute(attribute.key, attribute.value.upper())
+
+    @register_attribute_postprocessor
+    def oq_add_tax(attribute, rate):
+        return Attribute(attribute.key, attribute.value * (1.0 + rate))
+
+    @register_subgraph_preprocessor
+    def oq_only_building(resource):
+        return resource if resource["c_mktsegment"] == "BUILDING" else None
+
+    @register_attribute_preprocessor
+    def oq_concat_name_key(resource):
+        resource["name_key"] = "%s#%s" % (resource["c_name"], resource["c_custkey"])
+        return resource
+
+    schema = """
+ENTITY("customer"):
+  oq_only_building(NODE("Customer")) c:
+    + id = INT(customer.c_custkey)
+    - name = oq_upper(customer.c_name)
+    - bal_tax = oq_add_tax(FLOAT(customer.c_acctbal), 0.1)
+    - name_key = oq_concat_name_key(customer.name_key)
+"""
+    store = Converter(schema, [("customer", _read(spark, sf_dir, "customer"))])(spark)
+    return store.match_nodes("Customer").select("id", "name", "bal_tax", "name_key")
+
+
+def _kg_wrapper_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 full wrapper class → dynamic interpreter path, oracle-verified
+    (reference factory_wrappers.py:21-98 SubgraphFactoryWrapper)."""
+    from data2neo_spark import Converter, SubgraphFactoryWrapper, register_wrapper
+
+    @register_wrapper
+    class OqNationTag(SubgraphFactoryWrapper):
+        def __init__(self, factory, prefix):
+            super().__init__(factory)
+            self._prefix = prefix
+
+        def construct(self, resource):
+            subgraph = super().construct(resource)
+            for node in subgraph.nodes:
+                node["tag"] = self._prefix + str(resource["n_nationkey"])
+            return subgraph
+
+    schema = """
+ENTITY("nation"):
+  OqNationTag(NODE("Nation"), "N") n:
+    + key = INT(nation.n_nationkey)
+    - name = nation.n_name
+"""
+    store = Converter(schema, [("nation", _read(spark, sf_dir, "nation"))])(spark)
+    return store.match_nodes("Nation").select("key", "name", "tag")
+
+
+def _kg_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 SQLite source: the nation table routed through SQLiteIterator
+    (PK auto-discovery via PRAGMA, reference relational_modules/
+    sqlite.py:81-196) into a normal conversion."""
+    import hashlib
+    import sqlite3
+    import tempfile
+
+    from data2neo_spark import Converter
+    from data2neo_spark.sources.iterators import SQLiteIterator
+
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"d2s_nation_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.db",
+    )
+    rows = (
+        _read(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    con = sqlite3.connect(db)
+    try:
+        con.execute("DROP TABLE IF EXISTS nation")
+        con.execute(
+            "CREATE TABLE nation (n_nationkey INTEGER PRIMARY KEY, "
+            "n_name TEXT, n_regionkey INTEGER)"
+        )
+        con.executemany(
+            "INSERT INTO nation VALUES (?, ?, ?)",
+            [(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in rows],
+        )
+        con.commit()
+    finally:
+        con.close()
+
+    schema = """
+ENTITY("nation"):
+  NODE("Nation") n:
+    + key = INT(nation.n_nationkey)
+    - name = nation.n_name
+    - rkey = INT(nation.n_regionkey)
+"""
+    store = Converter(schema, SQLiteIterator(db, filter=["nation"]))(spark)
+    return store.match_nodes("Nation").select("key", "name", "rkey")
+
+
 # ---------------------------------------------------------------------------
 # training-data operator queries
 # ---------------------------------------------------------------------------
@@ -220,10 +395,13 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _dedup_ngram(spark, sf_dir):
+    """Candidates from DF-capped shingles (no unpruned self-join), exact
+    jaccard verification over the FULL corpus — the scale-shaped plan."""
     from data2neo_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.1, max_id=300
+        _read(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.1,
+        max_shingle_df=50,
     )
 
 
@@ -237,18 +415,34 @@ def _dedup_minhash(spark, sf_dir):
 
 
 def _dedup_simhash(spark, sf_dir):
+    """Pigeonhole blocking (max_hamming+1 chunks → exact recall); the md5-
+    based signature lets the oracle replay it bit-for-bit."""
     from data2neo_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(
-        _read(spark, sf_dir, "documents"), "doc_id", max_hamming=8
-    )
+        _read(spark, sf_dir, "documents"), "doc_id", max_hamming=3
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def _dedup_embedding(spark, sf_dir):
+    """EXACT all-pairs near-dup — deliberately max_id-gated (oracle slice);
+    the scale path is dedup_embedding_lsh below."""
     from data2neo_spark.operators.dedup import embedding_near_duplicates
 
     return embedding_near_duplicates(
         _read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.35, max_id=300
+    )
+
+
+def _dedup_embedding_lsh(spark, sf_dir):
+    """Scale path: hyperplane-bucketed near-dup over the FULL table — the
+    oracle replays the same seeded planes, so recall misses are verified
+    too, not hidden."""
+    from data2neo_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    return embedding_near_duplicates_lsh(
+        _read(spark, sf_dir, "embeddings"), "vec_id", dim=64,
+        threshold=0.3, n_planes=6,
     )
 
 
@@ -271,11 +465,15 @@ def _sim_ann(spark, sf_dir):
 
 
 def _sim_ivf(spark, sf_dir):
+    """IVF with row-seeded centroids (SQL-reproducible assignment — the
+    oracle replays cells + probes exactly; kmeans training stays the
+    library default)."""
     from data2neo_spark.operators.similarity import ivf_ann_topk
 
     return ivf_ann_topk(
         _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         dim=64, query_max_id=5, k=10, n_cells=8, n_probe=3,
+        centroid_strategy="rows",
     )
 
 
@@ -327,10 +525,12 @@ def _corpus_clean(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
+    """Arrow mapInPandas plumbing over binary payloads; sha256 + byte length
+    are DuckDB-computable, so the stub pipeline is value-verified."""
     from data2neo_spark.operators.multimodal import synth_media, extract_features
 
     media = synth_media(spark, n=200)
-    return extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
 
 
 # ---------------------------------------------------------------------------
@@ -487,11 +687,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_triples": _kg_property_triples,
         "kg_dynamic_rel_type": _kg_dynamic_rel_type,
         "kg_webtext_mentions": _kg_webtext_mentions,
+        "kg_salted_match": _kg_salted_match,
+        "kg_rel_merge_pk": _kg_rel_merge_pk,
+        "kg_wrappers": _kg_wrappers,
+        "kg_wrapper_dynamic": _kg_wrapper_dynamic,
+        "kg_sqlite": _kg_sqlite,
         "dedup_exact": _dedup_exact,
         "dedup_ngram": _dedup_ngram,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "sim_topk": _sim_topk,
         "sim_ann": _sim_ann,
         "sim_ivf": _sim_ivf,
@@ -520,34 +726,205 @@ CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
      ELSE 'es' END
 """
 
+# 60-bit md5 hash — the exact DuckDB twin of operators.dedup.md5_hash60
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# word-shingle CTEs shared by the jaccard oracles (lead() formulation is
+# provably identical to the Spark transform/slice formulation)
+_SHINGLE_CTES = """
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(range(len(string_split(text, ' ')))) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, 2) OVER w IS NOT NULL
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    )"""
+
+# exact-jaccard verification over a `cand(id_a, id_b)` CTE
+_VERIFY_SQL = """
+    , inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {threshold}
+"""
+
+
+def _lsh_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """Hyperplane-bucket expression over a DOUBLE[] column ``e`` with the
+    SAME seeded planes the Spark operator uses, inlined as literals — the
+    oracle replays the bucketing, so LSH results (including recall misses)
+    are verified value-for-value, not trusted."""
+    from data2neo_spark.operators.similarity import _planes
+
+    terms = []
+    for i, plane in enumerate(_planes(dim, n_planes, seed)):
+        lits = ", ".join(repr(float(v)) for v in plane)
+        dot = f"list_sum(list_transform(list_zip(e, [{lits}]), p -> p[1] * p[2]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
 
 def oracle_sql() -> dict[str, str]:
     occ = lambda w: f"(len(string_split(' ' || text || ' ', ' {w} ')) - 1)"
     score = lambda ws: " + ".join(occ(w) for w in ws)
-    shingles = """
-        WITH tok AS (
+    h60_shingle = _H60.format(x="shingle")
+    h60_word = _H60.format(x="word")
+    # dedup_ngram: DF-capped candidate generation + exact verification —
+    # the same algorithm the Spark operator runs (max_shingle_df=50)
+    shingles = f"""
+        WITH {_SHINGLE_CTES}, rare AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a
+            JOIN rare r ON a.shingle = r.shingle
+            JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+        ){_VERIFY_SQL.format(threshold=0.1)}
+    """
+    # dedup_minhash: full MinHash+LSH replay — identical md5-affine hash
+    # family (operators/dedup.py affine_coeffs), banding, and verification
+    minhash = f"""
+        WITH {_SHINGLE_CTES}, hbase AS (
+            SELECT doc_id, {h60_shingle} % 1073741789 AS h FROM sh
+        ), sig AS (
+            SELECT doc_id, t.i AS i,
+                   min(((((2 * t.i + 1) * 2654435761) % 1073741789) * h
+                        + (((t.i + 12345) * 1103515245) % 1073741789)) % 2147483647) AS v
+            FROM hbase CROSS JOIN range(64) t(i)
+            GROUP BY doc_id, t.i
+        ), bandsig AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS s
+            FROM sig GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandsig a
+            JOIN bandsig b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
+        ){_VERIFY_SQL.format(threshold=0.2)}
+    """
+    # dedup_simhash: replay the 60-bit md5 SimHash; blocking recall is exact
+    # (pigeonhole), so all-pairs hamming <= 3 IS the expected output
+    simhash = f"""
+        WITH tokw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), th AS (
+            SELECT doc_id, {h60_word} AS h FROM tokw
+        ), bitsum AS (
+            SELECT doc_id, t.i AS i,
+                   sum(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th CROSS JOIN range(60) t(i)
+            GROUP BY doc_id, t.i
+        ), sim AS (
             SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   unnest(range(len(string_split(text, ' ')))) AS pos
-            FROM documents WHERE doc_id < 300
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
-            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(word, 2) OVER w IS NOT NULL
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id
         )
-        SELECT id_a, id_b,
-               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    # dedup_embedding_lsh: replay the seeded hyperplane buckets (6 planes)
+    lsh_pairs = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), sig AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                   ({_lsh_bucket_sql(6)}) AS bucket
+            FROM v
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(list_zip(a.e, b.e),
+                     p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.3
+    """
+    # sim_ann: replay the 8-plane bucketing + exact re-rank
+    sim_ann = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), sig AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                   ({_lsh_bucket_sql(8)}) AS bucket
+            FROM v
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(list_zip(q.e, c.e),
+                         p -> p[1] * p[2])) / (q.nrm * c.nrm), 4) AS cos
+            FROM sig q JOIN sig c
+              ON q.bucket = c.bucket AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+    """
+    # sim_ivf (rows strategy): centroids = vectors 0..7, assignment by
+    # (distance, centroid idx), corpus in primary cell, queries probe 3
+    sim_ivf = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+        ), d AS (
+            SELECT v.vec_id, c.cid,
+                   list_sum(list_transform(list_zip(v.e, c.ce),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM v CROSS JOIN cent c
+        ), ranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+            FROM d
+        ), n AS (
+            SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v
+        ), corpus AS (
+            SELECT n.vec_id, n.e, n.nrm, r.cid AS cell
+            FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.r = 1
+        ), probes AS (
+            SELECT vec_id, cid AS cell FROM ranked WHERE vec_id < 5 AND r <= 3
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(list_zip(q.e, c.e),
+                         p2 -> p2[1] * p2[2])) / (q.nrm * c.nrm), 4) AS cos
+            FROM probes p
+            JOIN n q ON q.vec_id = p.vec_id
+            JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+    """
+    # multimodal: the synthetic payload is sha256-hex of ('42' || id), so
+    # byte length + payload sha256 are fully SQL-expressible
+    multimodal = """
+        SELECT range AS media_id,
+               CASE CAST(range % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(64 AS BIGINT) AS n_bytes,
+               sha256(sha256('42' || CAST(range AS VARCHAR))) AS sha256
+        FROM range(200)
     """
     cos_pairs = """
         WITH v AS (
@@ -640,9 +1017,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS h, min(doc_id) AS keeper_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"
         ),
+        "kg_salted_match": (
+            "SELECT 'Order:' || CAST(l_orderkey AS VARCHAR) AS subj, "
+            "'CONTAINS' AS pred, 'Part:' || CAST(l_partkey AS VARCHAR) AS obj "
+            "FROM lineitem"
+        ),
+        "kg_rel_merge_pk": (
+            "SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_key, "
+            "strftime(ts, '%Y-%m-%d') AS day, event_type AS kind FROM events"
+        ),
+        "kg_wrappers": (
+            "SELECT c_custkey AS id, upper(c_name) AS name, "
+            "c_acctbal * 1.1 AS bal_tax, "
+            "c_name || '#' || CAST(c_custkey AS VARCHAR) AS name_key "
+            "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "kg_wrapper_dynamic": (
+            "SELECT n_nationkey AS key, n_name AS name, "
+            "'N' || CAST(n_nationkey AS VARCHAR) AS tag FROM nation"
+        ),
+        "kg_sqlite": (
+            "SELECT n_nationkey AS key, n_name AS name, n_regionkey AS rkey "
+            "FROM nation"
+        ),
         "dedup_ngram": shingles,
+        "dedup_minhash": minhash,
+        "dedup_simhash": simhash,
         "dedup_embedding": cos_pairs,
+        "dedup_embedding_lsh": lsh_pairs,
         "sim_topk": sim_topk,
+        "sim_ann": sim_ann,
+        "sim_ivf": sim_ivf,
+        "multimodal_features": multimodal,
         "text_quality": (
             "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_calc, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

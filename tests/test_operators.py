@@ -190,3 +190,52 @@ def test_range_join(spark):
     a = {(r["event_id"], r["err_id"]) for r in got.collect()}
     b = {(r["event_id"], r["err_id"]) for r in naive.collect()}
     assert a == b
+
+
+def test_simhash_blocking_recall_guarantee(spark, docs):
+    """Pigeonhole property: for ANY max_hamming, blocking with
+    max_hamming+1 chunks finds EVERY pair at hamming <= max_hamming —
+    compare against brute-force over the signatures."""
+    import itertools
+
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    for h in (1, 3, 7):
+        expected = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if bin(sh[a] ^ sh[b]).count("1") <= h
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_duplicates(
+                docs, "doc_id", max_hamming=h
+            ).collect()
+        }
+        assert got == expected, f"max_hamming={h}"
+
+
+def test_ngram_shingle_df_cap(spark, docs):
+    """The DF cap prunes candidate generation but never the verification:
+    jaccard values are exact, and with a permissive cap results equal the
+    uncapped run."""
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.3, max_shingle_df=100
+        ).collect()
+    }
+    assert capped == uncapped and uncapped
+
+
+def test_minhash_affine_family_spread(spark, docs):
+    """Signature sanity: distinct docs get distinct signatures, identical
+    docs identical ones, and the 64 affine functions aren't degenerate."""
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            dedup.minhash_signatures(docs, "doc_id").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert len(set(sigs[0])) > 48   # the family produces spread values
