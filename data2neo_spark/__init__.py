@@ -21,7 +21,9 @@ architecture is DataFrame/Arrow-native throughout.
 """
 
 from .core.graph_elements import Attribute, Node, Relationship, Subgraph
-from .core.row_factories import AttributeFactoryWrapper, SubgraphFactoryWrapper
+from .core.row_factories import AttributeFactoryWrapper, Resource, SubgraphFactoryWrapper
+from .core.matcher import Matcher
+from .core.global_state import GlobalSharedState
 from .core.registrar import (
     register_attribute_postprocessor,
     register_attribute_preprocessor,
@@ -56,6 +58,11 @@ __all__ = [
     "Node",
     "Relationship",
     "Subgraph",
+    "Resource",
+    "Matcher",
+    "GlobalSharedState",
+    "AttributeFactoryWrapper",
+    "SubgraphFactoryWrapper",
     "GraphStore",
     "Converter",
     "ResourceIterator",

@@ -190,6 +190,32 @@ class Converter:
             out.append((etype, df))
         return out
 
+    def _incremental_upsert(self, store: GraphStore, parts, name, meta, key):
+        """MERGE-INTO-shaped upsert for bucketed disk stores: read + merge +
+        rewrite ONLY the hash-bucket partitions the batch touches —
+        O(|batch| + touched buckets) per increment instead of re-running the
+        whole store through the merge aggregation (SURVEY §2.6 M5)."""
+        from .store import BUCKET
+
+        batch = union_wide(parts).withColumn(BUCKET, store._bucket_col(name))
+        # touched-bucket discovery + the merge both consume the batch
+        batch = batch.persist()
+        touched = sorted(
+            r[0] for r in batch.select(BUCKET).distinct().collect()
+        )
+        existing = (
+            store.raw_table(name)
+            .where(F.col(BUCKET).isin(touched))  # partition pruning
+            .drop(BUCKET)
+            .withColumn(L.SEQ_SRC, F.lit(-1).cast("long"))
+        )
+        merged = L.merge_elements(
+            union_wide([existing, batch.drop(BUCKET)]), meta, key
+        )
+        store.overwrite_partitions(name, merged, touched)
+        batch.unpersist()
+        return touched
+
     def _release_sources(self, store: GraphStore) -> None:
         """Unpersist sequenced sources once nothing lazy references them.
 
@@ -285,7 +311,33 @@ class Converter:
                     enriched_df = L.attach_identifier_columns(enriched_df, rule)
                 enriched.append((etype, enriched_df))
 
-        if node_parts or store.nodes is not None:
+        incremental = store.path is not None and store.buckets > 0
+        if incremental and store.nodes is not None:
+            # bucketed disk store with prior contents: partition-pruned
+            # upsert; with no new node parts the store is left untouched
+            # (the full path would pointlessly rewrite it)
+            if node_parts:
+                touched = self._incremental_upsert(
+                    store, node_parts, "nodes", L.NODE_META, L.UID
+                )
+                store.log_stage(
+                    "nodes",
+                    n_touched_buckets=len(touched),
+                    n_buckets=store.buckets,
+                    wall_s=round(time.time() - t0, 3),
+                )
+                for rule_id, drop_obs in null_pk_obs:
+                    dropped = self._obs_value(drop_obs, "null_pk_rows")
+                    if dropped:
+                        logger.warning(
+                            "rule %s: dropped %d rows with NULL primary key",
+                            rule_id, dropped,
+                        )
+                        store.log_stage(
+                            "null_pk_dropped", rule=rule_id, n_rows=dropped
+                        )
+                null_pk_obs = []
+        elif node_parts or store.nodes is not None:
             existing = None
             if store.nodes is not None:
                 # previous graph contents participate with the lowest
@@ -392,7 +444,18 @@ class Converter:
                     rule.primary_key is not None or rule.ghost_primary_key
                 )
 
-        if edge_parts or store.edges is not None:
+        if incremental and store.edges is not None:
+            if edge_parts:
+                touched_e = self._incremental_upsert(
+                    store, edge_parts, "edges", L.EDGE_META, L.EID
+                )
+                store.log_stage(
+                    "edges",
+                    n_touched_buckets=len(touched_e),
+                    n_buckets=store.buckets,
+                    wall_s=round(time.time() - t1, 3),
+                )
+        elif edge_parts or store.edges is not None:
             if store.edges is None:
                 # same shuffle-avoidance as nodes: CREATE-mode edges (A5,
                 # parallel rels) append without the dedup shuffle

@@ -30,11 +30,25 @@ from pyspark.sql import functions as F
 
 from ..plans import lowering as L
 
+# hash-bucket partition column of disk-backed stores (pmod of the element
+# key) — the unit of partition-pruned incremental upserts
+BUCKET = "_nbucket"
+
 
 class GraphStore:
-    def __init__(self, spark: SparkSession, path: Optional[str] = None) -> None:
+    """``buckets > 0`` lays the node/edge parquet out as hash-bucket
+    partition directories (``_nbucket=pmod(key, buckets)``): incremental
+    converter runs then read + rewrite ONLY the buckets their batch touches
+    (SURVEY §2.6 M5 MERGE-INTO semantics on plain parquet) instead of
+    re-materializing the whole store — O(|batch| + touched partitions) per
+    increment, not O(|store|)."""
+
+    def __init__(
+        self, spark: SparkSession, path: Optional[str] = None, buckets: int = 0
+    ) -> None:
         self.spark = spark
         self.path = path
+        self.buckets = buckets
         self._nodes: Optional[DataFrame] = None
         self._edges: Optional[DataFrame] = None
         self.counters: Dict[str, Any] = {}
@@ -48,6 +62,11 @@ class GraphStore:
         # LAZY edge plan may still reference; released when the edge table
         # is next materialized (Converter._release_sources)
         self._adopted: List[DataFrame] = []
+        # create()/merge()/push() subgraph absorbs must overwrite whatever
+        # is already stored (reference MERGE+SET semantics): their rows get
+        # a sequence ABOVE any converter run's (run_id*1e6+i), increasing
+        # per absorb so repeated merges also overwrite each other
+        self._absorb_seq = 1 << 40
         if path is not None:
             os.makedirs(path, exist_ok=True)
             for name in ("nodes", "edges"):
@@ -67,11 +86,24 @@ class GraphStore:
 
     @property
     def nodes(self) -> Optional[DataFrame]:
+        if self._nodes is not None and BUCKET in self._nodes.columns:
+            return self._nodes.drop(BUCKET)
         return self._nodes
 
     @property
     def edges(self) -> Optional[DataFrame]:
+        if self._edges is not None and BUCKET in self._edges.columns:
+            return self._edges.drop(BUCKET)
         return self._edges
+
+    def raw_table(self, name: str) -> Optional[DataFrame]:
+        """Node/edge table INCLUDING the bucket partition column (the
+        incremental path filters on it for partition pruning)."""
+        return self._nodes if name == "nodes" else self._edges
+
+    def _bucket_col(self, name: str):
+        key = L.UID if name == "nodes" else L.EID
+        return F.pmod(F.col(key), F.lit(self.buckets)).cast("int")
 
     @property
     def node_count(self) -> int:
@@ -129,7 +161,12 @@ class GraphStore:
 
             target = os.path.join(self.path, name)
             tmp = os.path.join(self.path, f"_tmp_{name}_{int(time.time() * 1000)}")
-            df.write.mode("overwrite").parquet(tmp)
+            if self.buckets:
+                if BUCKET not in df.columns:
+                    df = df.withColumn(BUCKET, self._bucket_col(name))
+                df.write.mode("overwrite").partitionBy(BUCKET).parquet(tmp)
+            else:
+                df.write.mode("overwrite").parquet(tmp)
             # swap with crash recovery: a stale _old_<name> from a killed
             # run is cleared first, and _old_<name> is kept until the new
             # table is fully in place (see __init__ recovery)
@@ -152,6 +189,45 @@ class GraphStore:
         self._cached[name] = df
         return df
 
+    def overwrite_partitions(self, name: str, df: DataFrame, touched: List[int]) -> DataFrame:
+        """Dynamic-partition-overwrite for bucketed stores: rewrite ONLY the
+        ``touched`` bucket directories with ``df`` (which must contain
+        exactly those buckets' merged rows), leave every other partition's
+        files untouched on disk.
+
+        Spark refuses an in-place overwrite of a path being read, so the
+        touched buckets are written to a tmp dir and swapped per-directory.
+        A crash mid-swap leaves a mix of old/new buckets — re-running the
+        same batch is idempotent (keyed merge), which restores consistency;
+        the per-bucket swap itself is a directory rename."""
+        import shutil
+
+        if not self.buckets:
+            raise ValueError("overwrite_partitions requires a bucketed store")
+        target = os.path.join(self.path, name)
+        tmp = os.path.join(self.path, f"_tmp_{name}_{int(time.time() * 1000)}")
+        if BUCKET not in df.columns:
+            df = df.withColumn(BUCKET, self._bucket_col(name))
+        df.write.mode("overwrite").partitionBy(BUCKET).parquet(tmp)
+        for b in touched:
+            part = f"{BUCKET}={b}"
+            src = os.path.join(tmp, part)
+            dst = os.path.join(target, part)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            os.makedirs(dst, exist_ok=True)  # empty bucket stays valid
+        shutil.rmtree(tmp, ignore_errors=True)
+        out = self.spark.read.parquet(target)
+        self._partition_lineage(out, name)
+        if name == "nodes":
+            self._nodes = out
+            self._node_count = None
+            self.is_materialized = True
+        else:
+            self._edges = out
+        return out
+
     # --- lineage / counters -------------------------------------------------
 
     def log_stage(self, stage: str, **metrics: Any) -> None:
@@ -168,7 +244,7 @@ class GraphStore:
     def match_nodes(self, *labels: str, **conditions: Any) -> DataFrame:
         if self._nodes is None:
             raise ValueError("GraphStore has no nodes yet")
-        df = self._nodes
+        df = self.nodes
         for lbl in labels:
             df = df.filter(F.array_contains(F.col(L.LABELS), lbl))
         for k, v in conditions.items():
@@ -184,7 +260,7 @@ class GraphStore:
     ) -> DataFrame:
         if self._edges is None:
             raise ValueError("GraphStore has no edges yet")
-        df = self._edges
+        df = self.edges
         if rel_type is not None:
             df = df.filter(F.col(L.RELTYPE) == rel_type)
         for k, v in conditions.items():
@@ -253,7 +329,7 @@ class GraphStore:
             F.col("_plabel_l").alias(L.PLABEL),
             F.col("_pk_prop_l").alias(L.PKPROP),
             F.col("_pk_val_l").alias(L.PKVAL),
-            F.lit(-1).cast("long").alias(L.SEQ_SRC),
+            F.lit(self._absorb_seq).cast("long").alias(L.SEQ_SRC),
             F.col("_local").cast("long").alias(L.SEQ_ROW),
             *[F.col(c) for c in prop_cols],
         )
@@ -308,7 +384,7 @@ class GraphStore:
             F.col("_dl").alias(L.DST_LABEL),
             F.col("_dk").alias(L.DST_KEY),
             F.col("_pk").alias(L.PKPROP),
-            F.lit(-1).cast("long").alias(L.SEQ_SRC),
+            F.lit(self._absorb_seq).cast("long").alias(L.SEQ_SRC),
             F.col("_j").cast("long").alias(L.SEQ_ROW),
             *[F.col(c) for c in eprops],
         )
@@ -317,10 +393,14 @@ class GraphStore:
     def _absorb(self, nodes_df, edges_df) -> None:
         from ..core.types import union_wide
 
-        parts = [self._nodes, nodes_df] if self._nodes is not None else [nodes_df]
+        self._absorb_seq += 1
+
+        # .nodes/.edges properties (not _nodes/_edges): the bucket partition
+        # column of disk-backed bucketed stores must not enter the merge
+        parts = [self.nodes, nodes_df] if self._nodes is not None else [nodes_df]
         self.set_nodes(L.merge_elements(union_wide(parts), L.NODE_META, L.UID))
         if edges_df is not None or self._edges is not None:
-            eparts = [p for p in (self._edges, edges_df) if p is not None]
+            eparts = [p for p in (self.edges, edges_df) if p is not None]
             self.set_edges(L.merge_elements(union_wide(eparts), L.EDGE_META, L.EID))
 
     def create(self, subgraph) -> None:
@@ -342,11 +422,17 @@ class GraphStore:
     # --- single-element push / pull (reference graph_elements.py:285-336) ---
 
     def push(self, node) -> None:
-        """Overwrite the stored node's properties/labels from a local Node
-        object (K6). Single-element upsert — convenience API, not a bulk
-        path; bulk updates go through a Converter run."""
+        """Overwrite the stored element's properties/labels from a local
+        Node OR whole Subgraph (K6; reference neo4j/__init__.py:30-39 pushes
+        subgraphs). Convenience API, not a bulk path; bulk updates go
+        through a Converter run."""
         from ..core.converter import Converter
+        from ..core.graph_elements import Subgraph
 
+        if isinstance(node, Subgraph):
+            # subgraph push = keyed upsert of all its nodes+relationships
+            self.merge(node)
+            return
         if node.__primarykey__ is None or node.__primarylabel__ is None:
             raise ValueError("push requires a primary label and primary key")
         pk = node.__primarykey__
@@ -362,7 +448,14 @@ class GraphStore:
         Converter(schema, [("t", self.spark.createDataFrame(pdf))], store=self)(self.spark)
 
     def pull(self, node) -> None:
-        """Refresh a local Node object's properties from the store (K6)."""
+        """Refresh a local Node (or every node of a Subgraph — reference
+        neo4j/__init__.py:41-48) from the store (K6)."""
+        from ..core.graph_elements import Subgraph
+
+        if isinstance(node, Subgraph):
+            for n in node.nodes:
+                self.pull(n)
+            return
         if node.__primarykey__ is None or node.__primarylabel__ is None:
             raise ValueError("pull requires a primary label and primary key")
         rows = self.match_nodes(
@@ -401,7 +494,7 @@ class GraphStore:
         parts = []
         if self._edges is not None:
             parts.append(
-                self._edges.select(
+                self.edges.select(
                     ident(L.SRC_LABEL, L.SRC_KEY, L.SRC_UID).alias("subj"),
                     F.col(L.RELTYPE).alias("pred"),
                     ident(L.DST_LABEL, L.DST_KEY, L.DST_UID).alias("obj"),
@@ -411,7 +504,7 @@ class GraphStore:
             from ..core.types import python_str_column
 
             meta = set(L.NODE_META)
-            nodes = self._nodes
+            nodes = self.nodes
             subj = ident(L.PLABEL, L.PKVAL, L.UID)
             # stack properties: one pass over the node table, no joins
             pairs = []
@@ -458,14 +551,14 @@ class GraphStore:
         layout for repeated incremental runs at 100TB scale."""
         if self._nodes is not None:
             (
-                self._nodes.write.mode("overwrite")
+                self.nodes.write.mode("overwrite")
                 .bucketBy(buckets, L.UID)
                 .sortBy(L.UID)
                 .saveAsTable(f"{table_prefix}_nodes")
             )
         if self._edges is not None:
             (
-                self._edges.write.mode("overwrite")
+                self.edges.write.mode("overwrite")
                 .bucketBy(buckets, L.SRC_UID)
                 .sortBy(L.SRC_UID)
                 .saveAsTable(f"{table_prefix}_edges")

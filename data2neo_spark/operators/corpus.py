@@ -4,16 +4,26 @@ Composes the text-analysis and dedup operators into the standard CC-style
 filter chain: quality gate → language gate → exact dedup → (optional)
 near-dup removal. Every stage is a DataFrame transform; the output is the
 kept corpus plus a per-stage attrition report.
+
+Single-plan design: stage membership is computed as FLAG COLUMNS in one
+projection (+ one window for the dedup keeper), so
+* ``kept`` is one filter over that plan — the caller's first action runs the
+  chain exactly once;
+* ``report`` is a LAZY aggregation over the same plan — collecting it costs
+  one pass, not consumed at all it costs zero.
+The previous implementation issued four driver-side ``count()`` actions that
+each recomputed the filter chain — at 100 TB that's four redundant full
+scans for a log line.
 """
 
 from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import exact_duplicates, minhash_lsh_duplicates
+from .dedup import minhash_lsh_duplicates
 from .text import with_langid, with_quality_features
 
 
@@ -31,51 +41,60 @@ def clean_corpus(
     """Returns (kept_docs, report).
 
     kept_docs: the surviving rows of ``docs`` (original columns).
-    report: one row per stage — (stage, rows_in, rows_out).
+    report: one row per stage — (stage, rows_in, rows_out) — computed lazily
+    from the same single plan as kept_docs.
 
-    Exact dedup keeps the smallest id per identical text (deterministic).
-    Near-dedup (MinHash+LSH, verified Jaccard) drops the larger id of each
-    near-dup pair — transitively safe because pairs are recomputed against
-    the exact-deduped set.
+    Exact dedup keeps the smallest id per identical text (deterministic):
+    the keeper is a windowed conditional min over md5(text) — one shuffle,
+    no join. Near-dedup (MinHash+LSH, verified Jaccard) drops the larger id
+    of each near-dup pair — transitively safe because pairs are recomputed
+    against the exact-deduped set.
     """
-    report_rows = []
-    n0 = docs.count()
-
-    q = with_quality_features(docs, text_col)
-    q = q.where(
+    flagged = with_quality_features(docs, text_col)
+    q_ok = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)
         & (F.col("digit_ratio") <= max_digit_ratio)
     )
-    n1 = q.count()
-    report_rows.append(("quality", n0, n1))
-
+    flagged = flagged.withColumn("_q_ok", q_ok)
     if keep_langs is not None:
-        q = with_langid(q, text_col).where(F.col("lang_pred").isin(keep_langs))
-        n2 = q.count()
+        flagged = with_langid(flagged, text_col).withColumn(
+            "_elig", F.col("_q_ok") & F.col("lang_pred").isin(keep_langs)
+        )
     else:
-        n2 = n1
-    report_rows.append(("langid", n1, n2))
-
-    keepers = exact_duplicates(q, id_col, text_col).select(
-        F.col("keeper_id").alias(id_col)
+        flagged = flagged.withColumn("_elig", F.col("_q_ok"))
+    # exact-dedup keeper: min id among ELIGIBLE rows of each identical-text
+    # group; a row survives iff it is its group's keeper
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    flagged = flagged.withColumn(
+        "_keep",
+        F.col("_elig")
+        & (F.col(id_col) == F.min(F.when(F.col("_elig"), F.col(id_col))).over(w)),
     )
-    q = q.join(keepers, id_col, "left_semi")
-    n3 = q.count()
-    report_rows.append(("exact_dedup", n2, n3))
+
+    kept = flagged.where(F.col("_keep")).select(*docs.columns)
 
     if near_dedup:
-        pairs = minhash_lsh_duplicates(q, id_col, text_col, threshold=near_threshold)
+        pairs = minhash_lsh_duplicates(kept, id_col, text_col, threshold=near_threshold)
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        q = q.join(drop, id_col, "left_anti")
-        n4 = q.count()
+        final = kept.join(drop, id_col, "left_anti")
+        drop_n = drop.agg(F.count(F.lit(1)).alias("_nd"))
     else:
-        n4 = n3
-    report_rows.append(("near_dedup", n3, n4))
+        final = kept
+        drop_n = None
 
-    kept = q.select(*[c for c in docs.columns])
-    spark = docs.sparkSession
-    report = spark.createDataFrame(
-        report_rows, "stage string, rows_in long, rows_out long"
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("_q_ok").cast("long")).alias("n1"),
+        F.sum(F.col("_elig").cast("long")).alias("n2"),
+        F.sum(F.col("_keep").cast("long")).alias("n3"),
     )
-    return kept, report
+    if drop_n is not None:
+        counts = counts.crossJoin(drop_n).withColumn("n4", F.col("n3") - F.col("_nd"))
+    else:
+        counts = counts.withColumn("n4", F.col("n3"))
+    report = counts.selectExpr(
+        "stack(4, 'quality', n0, n1, 'langid', n1, n2, "
+        "'exact_dedup', n2, n3, 'near_dedup', n3, n4) AS (stage, rows_in, rows_out)"
+    )
+    return final, report

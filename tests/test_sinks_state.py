@@ -130,3 +130,90 @@ ENTITY("r"):
             C.BROADCAST_NODE_LIMIT = old
 
     assert run(0) == run(4) == [("1", "2")] * 4 + [("2", "1")]
+
+
+def test_live_sink_batches(spark, store):
+    """Bulk-UNWIND statement generator (live Neo4j sink, reference
+    cypher.py:98-175 shapes) — verified without a database."""
+    from data2neo_spark.sinks.neo4j_live import edge_batches, node_batches
+
+    nb = list(node_batches(store.nodes, batch_size=10))
+    stmts = {s for s, _ in nb}
+    all_rows = [r for _, rows in nb for r in rows]
+    assert len(all_rows) == 3  # 2 Person + 1 City
+    person_stmt = next(s for s in stmts if ":Person" in s)
+    assert "MERGE (n:Person {id: r.__pk})" in person_stmt
+    assert "SET n += r.props" in person_stmt
+    person_rows = [r for s, rows in nb if ":Person" in s for r in rows]
+    assert {r["__pk"] for r in person_rows} == {1, 2}
+    assert all("props" in r and "__uid" in r for r in all_rows)
+
+    eb = list(edge_batches(store.edges, batch_size=10))
+    assert len(eb) == 1
+    stmt, rows = eb[0]
+    assert "MERGE (a)-[e:LIVES_IN {_eid: r.__eid}]->(b)" in stmt
+    assert "MATCH (a {_uid: r.__src}), (b {_uid: r.__dst})" in stmt
+    assert len(rows) == 2
+    assert all(r["props"]["since"] in (2001, 2002) for r in rows)
+
+
+def test_live_sink_batch_size_flush(spark, store):
+    from data2neo_spark.sinks.neo4j_live import node_batches
+
+    nb = list(node_batches(store.nodes, batch_size=1))
+    assert all(len(rows) == 1 for _, rows in nb)
+    assert sum(len(rows) for _, rows in nb) == 3
+
+
+def test_matcher_standalone(spark, store):
+    """Reference top-level Matcher parity (matcher.py:11-103), DataFrame-
+    native: labels + literal conditions against a GraphStore."""
+    from data2neo_spark import Matcher
+
+    rows = Matcher("Person", name="Bob").match(store).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2
+    Matcher.graph_store = store
+    try:
+        assert Matcher("City").match().count() == 1
+    finally:
+        Matcher.graph_store = None
+    with pytest.raises(ValueError):
+        Matcher()
+    with pytest.raises(ValueError):
+        Matcher("Person").match()
+
+
+def test_subgraph_push_pull(spark):
+    """K6 subgraph-level push/pull (reference neo4j/__init__.py:30-48)."""
+    from data2neo_spark import Converter, GraphStore, Node, Relationship, Subgraph
+
+    store = Converter(SCHEMA, [("t", spark.createDataFrame(PDF))])(spark)
+    a = Node("Person", id=1, name="Changed A")
+    a.set_primary_key("id")
+    b = Node("Person", id=2, name="Changed B")
+    b.set_primary_key("id")
+    store.push(Subgraph([a, b], []))
+    names = {r["id"]: r["name"] for r in store.match_nodes("Person").collect()}
+    assert names == {1: "Changed A", 2: "Changed B"}
+
+    fresh_a = Node("Person", id=1)
+    fresh_a.set_primary_key("id")
+    fresh_b = Node("Person", id=2)
+    fresh_b.set_primary_key("id")
+    store.pull(Subgraph([fresh_a, fresh_b], []))
+    assert fresh_a["name"] == "Changed A" and fresh_b["name"] == "Changed B"
+
+
+def test_root_import_parity():
+    """Reference package-root exports (reference __init__.py:1-15) resolve."""
+    import data2neo_spark as d2s
+
+    for name in ("Resource", "Matcher", "GlobalSharedState", "Converter",
+                 "ResourceIterator", "IteratorIterator", "Attribute",
+                 "AttributeFactoryWrapper", "SubgraphFactoryWrapper",
+                 "SchemaConfigException",
+                 "register_attribute_postprocessor",
+                 "register_attribute_preprocessor",
+                 "register_subgraph_postprocessor",
+                 "register_subgraph_preprocessor", "register_wrapper"):
+        assert hasattr(d2s, name), name
