@@ -28,7 +28,7 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_shingles
+from .text import word_shingle_counts, word_shingles
 
 # affine hash-family moduli: largest prime < 2^30 (keeps a_i * h < 2^60,
 # no 64-bit overflow) and the Mersenne prime 2^31-1
@@ -65,6 +65,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 def _verified_jaccard(
     sh: DataFrame,
+    sizes: DataFrame,
     cand: DataFrame,
     id_col: str,
     threshold: float,
@@ -75,8 +76,10 @@ def _verified_jaccard(
     shingle self-join — otherwise a hot shingle shared by k docs
     materializes ~k²/2 rows and the self-join re-creates the all-pairs
     explosion the candidate stage exists to avoid. (Catalyst cannot push a
-    pair-level semi-join below the join by itself.)"""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pair-level semi-join below the join by itself.)
+
+    ``sizes``: (id, n_sh) per-doc distinct-shingle counts — supplied by the
+    caller via the zero-shuffle word_shingle_counts."""
     cand_a = cand.select(F.col("id_a").alias(id_col)).distinct()
     cand_b = cand.select(F.col("id_b").alias(id_col)).distinct()
     a = sh.join(cand_a, id_col, "left_semi").select(
@@ -93,9 +96,13 @@ def _verified_jaccard(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    # broadcast the PAIR side: `inter` is bounded by the candidate count,
+    # `sizes` spans the whole corpus (broadcasting it would cap scale at
+    # driver memory). sizes then streams map-side — no shuffle of the big
+    # frame at all.
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.hint("broadcast").join(sa, "id_a")
+        .hint("broadcast").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -134,24 +141,44 @@ def ngram_jaccard_pairs(
     if max_id is not None:
         df = df.where(F.col(id_col) < max_id)
     sh = word_shingles(df, id_col, text_col, n)
-    cand_src = sh
     if max_shingle_df is not None:
-        rare = (
+        # grouped-pairs candidate generation: ONE shuffle (groupBy shingle),
+        # pairs emitted array-side from the capped id list — replaces the
+        # rare-filter aggregation + two-sided shingle self-join (three
+        # shuffles of the big frame). Safe only because the cap bounds the
+        # per-shingle pair array at max_shingle_df²/2.
+        grp = (
             sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_shingle_df)
-            .select("shingle")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+            .where(F.size("_ids").between(2, max_shingle_df))
         )
-        cand_src = sh.join(rare, "shingle", "left_semi")
-    a = cand_src.select(F.col(id_col).alias("id_a"), "shingle")
-    b = cand_src.select(F.col(id_col).alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _verified_jaccard(sh, cand, id_col, threshold)
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ids") - 2),
+                lambda i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                    lambda b: F.struct(
+                        F.get(F.col("_ids"), i).alias("id_a"), b.alias("id_b")
+                    ),
+                ),
+            )
+        )
+        cand = (
+            grp.select(F.explode(pair_arr).alias("_p"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b"))
+            .distinct()
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    sizes = word_shingle_counts(df, id_col, text_col, n)
+    return _verified_jaccard(sh, sizes, cand, id_col, threshold)
 
 
 def minhash_signatures(
@@ -235,7 +262,8 @@ def minhash_lsh_duplicates(
     """Candidates from LSH, verified with exact Jaccard ≥ threshold."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     sh = word_shingles(df, id_col, text_col, shingle_n)
-    return _verified_jaccard(sh, cand.select("id_a", "id_b"), id_col, threshold)
+    sizes = word_shingle_counts(df, id_col, text_col, shingle_n)
+    return _verified_jaccard(sh, sizes, cand.select("id_a", "id_b"), id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:

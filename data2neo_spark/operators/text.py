@@ -111,13 +111,41 @@ def word_shingles(
     Built with a lateral transform over the word array — one projection, no
     self-joins; identical results to a windowed lead() formulation in SQL.
     """
-    words = F.split(F.col(text_col), " ")
+    # bind the split to a REAL column first: higher-order lambdas get no
+    # common-subexpression elimination, so an inline `split(text)` would be
+    # re-evaluated per array element (O(words²) per doc — measured 4×
+    # slower). CollapseProject keeps the alias because it's referenced more
+    # than once and split() isn't cheap.
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(words) - F.lit(n)),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
+    # dedup INSIDE the row (a document's shingles all live in its own array)
+    # — semantically identical to a global .distinct() but zero-shuffle, and
+    # the jaccard operators reference this frame several times (sizes,
+    # candidates, verification): a shuffling distinct here would be
+    # recomputed per consumer (column pruning defeats ReuseExchange)
     return (
-        df.where(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+        bound.where(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def word_shingle_counts(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, n_sh) distinct-shingle count per document — computed array-side
+    in one zero-shuffle projection (the groupBy-count over the exploded
+    shingle frame costs a shuffle AND a full shingle recomputation)."""
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return bound.where(F.size(words) >= n).select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles)).cast("long").alias("n_sh"),
     )
