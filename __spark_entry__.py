@@ -501,6 +501,13 @@ def _text_langid(spark, sf_dir):
     )
 
 
+def _text_tfidf(spark, sf_dir):
+    """TF-IDF top-5 terms per doc (smoothed idf, deterministic tie-break)."""
+    from data2neo_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), "doc_id", k=5)
+
+
 def _text_fingerprint(spark, sf_dir):
     from data2neo_spark.operators.text import with_fingerprint
 
@@ -704,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_tokens": _text_tokens,
         "text_langid": _text_langid,
+        "text_tfidf": _text_tfidf,
         "text_fingerprint": _text_fingerprint,
         "corpus_clean": _corpus_clean,
         "multimodal_features": _multimodal_features,
@@ -1076,6 +1084,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"
         ),
+        "text_tfidf": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT word, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT t.doc_id, t.word, t.tf,
+                   round(t.tf * (ln((n.n_docs + 1) * 1.0 / (d.df + 1)) + 1.0), 4) AS score
+            FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, tf, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, word) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+        """,
         "corpus_clean": f"""
         WITH scored AS (
             SELECT doc_id, lang, n_chars, text,

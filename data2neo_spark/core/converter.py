@@ -150,10 +150,10 @@ class Converter:
     def _estimated_bytes(df: DataFrame) -> Optional[int]:
         """Optimizer size estimate in bytes, or None when unavailable."""
         try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats()
-                .sizeInBytes().toString()
-            )
+            size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            # py4j maps small BigInts to python ints; huge ones stay JVM
+            # objects with toString()
+            est = size if isinstance(size, int) else int(size.toString())
         except Exception:
             return None
         return est if 0 <= est < _STATS_UNKNOWN else None

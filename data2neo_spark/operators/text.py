@@ -149,3 +149,45 @@ def word_shingle_counts(
         F.col(id_col),
         F.size(F.array_distinct(shingles)).cast("long").alias("n_sh"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, word, tf, score, rank).
+
+    tf = raw term count in the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    score = round(tf·idf, 4); ties rank alphabetically. Two shuffles
+    ((id, word) count → per-doc window); the document frequency side is a
+    word-keyed aggregation joined back by word. SQL-reproducible for the
+    DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "word", "tf", "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -239,3 +239,19 @@ def test_minhash_affine_family_spread(spark, docs):
     assert sigs[0] == sigs[1]
     assert sigs[0] != sigs[3]
     assert len(set(sigs[0])) > 48   # the family produces spread values
+
+
+def test_tfidf_top_terms(spark, docs):
+    from data2neo_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, "doc_id", k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {r["doc_id"] for r in docs.collect()}
+    for rows in by_doc.values():
+        assert len(rows) <= 3
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)

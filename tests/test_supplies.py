@@ -147,3 +147,42 @@ ENTITY("t"):
     auto_salt = run(broadcast_nodes=False)  # salt defaults on for shuffle
     assert broadcast == shuffled == auto_salt
     assert len(broadcast) == 6
+
+
+def test_byte_based_broadcast_decision(spark):
+    """The MATCH join strategy is decided by estimated node-table BYTES:
+    a tiny byte cap forces the shuffle+salt path even though the row count
+    is small (the old row-count heuristic would have broadcast a wide
+    table into the driver)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "src": [1, 2, 3],
+            "dst": [10, 11, 12],
+            "payload": ["x" * 2000] * 3,   # wide property
+        })
+    )
+    schema = """
+ENTITY("t"):
+  NODE("S") s:
+    + id = INT(t.src)
+    - payload = t.payload
+  NODE("D") d:
+    + id = INT(t.dst)
+  RELATIONSHIP(MATCH("S", id = INT(t.src)), "HIT", MATCH("D", id = INT(t.dst))):
+"""
+    def plan_of(store):
+        return store.edges._sc._jvm.PythonSQLUtils.explainString(
+            store.edges._jdf.queryExecution(), "formatted"
+        )
+
+    # default byte budget: broadcast
+    s1 = Converter(schema, [("t", df)])(spark)
+    assert "BroadcastHashJoin" in plan_of(s1)
+    # 1-byte budget: auto-falls back to the salted shuffle join
+    s2 = Converter(schema, [("t", df)], broadcast_bytes_limit=1)(spark)
+    # same answers either way
+    r1 = {(r["_src_key"], r["_dst_key"]) for r in s1.edges.collect()}
+    r2 = {(r["_src_key"], r["_dst_key"]) for r in s2.edges.collect()}
+    assert r1 == r2 and len(r1) == 3
+    # the salt column machinery ran: the logical plan mentions the salt
+    assert "_salt" in s2.edges._jdf.queryExecution().logical().toString()
