@@ -98,3 +98,32 @@ def test_mention_array_strategy_has_no_shuffle(spark):
     import re
     shuffles = re.findall(r"Exchange hashpartitioning", plan)
     assert not shuffles
+
+
+def test_dedup_plans_have_no_nested_loop(spark):
+    """Scale gates for the dedup operators: candidate generation and
+    verification must be equi joins / aggregations — never a cartesian or
+    broadcast-nested-loop join (the all-pairs trap), and the verification
+    must broadcast the candidate side, not the corpus."""
+    from data2neo_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    plans = {
+        "ngram": plan_of(dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.1, max_shingle_df=50)),
+        "minhash": plan_of(dedup.minhash_lsh_duplicates(
+            docs, "doc_id", threshold=0.2)),
+        "simhash": plan_of(dedup.simhash_near_duplicates(
+            docs, "doc_id", max_hamming=3)),
+        "emb_lsh": plan_of(dedup.embedding_near_duplicates_lsh(
+            emb, "vec_id", dim=64, threshold=0.3, n_planes=6)),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the exact path IS all-pairs by contract (oracle slice, max_id-gated)
+    exact = plan_of(dedup.embedding_near_duplicates(
+        emb, "vec_id", threshold=0.3, max_id=50))
+    assert "NestedLoopJoin" in exact or "CartesianProduct" in exact
