@@ -28,7 +28,7 @@ from typing import List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_shingle_counts, word_shingles
+from .text import word_shingles
 
 # affine hash-family moduli: largest prime < 2^30 (keeps a_i * h < 2^60,
 # no 64-bit overflow) and the Mersenne prime 2^31-1
@@ -63,53 +63,57 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh_arr) — each document's distinct shingle set as ONE array row
+    (zero-shuffle; the verification joins replicate arrays per candidate
+    pair instead of shuffling shingle-level rows)."""
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return bound.where(F.size(words) >= n).select(
+        F.col(id_col), F.array_distinct(shingles).alias("sh_arr")
+    )
+
+
 def _verified_jaccard(
-    sh: DataFrame,
-    sizes: DataFrame,
+    df: DataFrame,
     cand: DataFrame,
     id_col: str,
+    text_col: str,
+    n: int,
     threshold: float,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs: (id_a, id_b, jaccard ≥ threshold).
 
-    Restricts BOTH shingle sides to candidate documents BEFORE the
-    shingle self-join — otherwise a hot shingle shared by k docs
-    materializes ~k²/2 rows and the self-join re-creates the all-pairs
-    explosion the candidate stage exists to avoid. (Catalyst cannot push a
-    pair-level semi-join below the join by itself.)
-
-    ``sizes``: (id, n_sh) per-doc distinct-shingle counts — supplied by the
-    caller via the zero-shuffle word_shingle_counts."""
-    cand_a = cand.select(F.col("id_a").alias(id_col)).distinct()
-    cand_b = cand.select(F.col("id_b").alias(id_col)).distinct()
-    a = sh.join(cand_a, id_col, "left_semi").select(
-        F.col(id_col).alias("id_a"), "shingle"
+    Verification is pair-local: each candidate doc's distinct-shingle ARRAY
+    is joined to the pair list (two equi joins, candidate-bounded build
+    side), and the intersection is computed per pair with array_intersect —
+    no shingle-level self-join, no corpus-wide shuffle, one corpus scan.
+    A hot shingle shared by k docs therefore never materializes k² rows
+    here; the candidate stage is the only place pair blowup can occur, and
+    it is capped/bucketed by construction."""
+    arrays = _shingle_arrays(df, id_col, text_col, n)
+    pairs = cand.select("id_a", "id_b")
+    joined = (
+        pairs.hint("broadcast")
+        .join(arrays.select(F.col(id_col).alias("id_a"),
+                            F.col("sh_arr").alias("_sa")), "id_a")
+        .hint("broadcast")
+        .join(arrays.select(F.col(id_col).alias("id_b"),
+                            F.col("sh_arr").alias("_sb")), "id_b")
     )
-    b = sh.join(cand_b, id_col, "left_semi").select(
-        F.col(id_col).alias("id_b"), "shingle"
+    # bind the intersection size once: it appears in numerator AND union,
+    # and higher-order exprs get no CSE
+    joined = joined.withColumn(
+        "_inter", F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     )
-    inter = (
-        a.join(b, "shingle")
-        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    # broadcast the PAIR side: `inter` is bounded by the candidate count,
-    # `sizes` spans the whole corpus (broadcasting it would cap scale at
-    # driver memory). sizes then streams map-side — no shuffle of the big
-    # frame at all.
+    union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - F.col("_inter")
     return (
-        inter.hint("broadcast").join(sa, "id_a")
-        .hint("broadcast").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
-            ),
+        joined.withColumn(
+            "jaccard", F.round(F.col("_inter").cast("double") / union, 4)
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -138,47 +142,89 @@ def ngram_jaccard_pairs(
     those are boilerplate, not duplicates. None = unbounded (exact
     recall; only safe on small/capped inputs).
     """
+    from .text import word_shingle_counts
+
     if max_id is not None:
         df = df.where(F.col(id_col) < max_id)
     sh = word_shingles(df, id_col, text_col, n)
+
+    # grouped-pairs candidate generation + EXACT intersection counting in
+    # the same pair aggregation: ONE shuffle of the shingle frame
+    # (groupBy shingle), pairs emitted array-side from the capped id lists,
+    # then groupBy(pair).count() = the pair's shared-RARE-shingle count.
+    grp = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    rare = grp.where(F.size("_ids") >= 2)
     if max_shingle_df is not None:
-        # grouped-pairs candidate generation: ONE shuffle (groupBy shingle),
-        # pairs emitted array-side from the capped id list — replaces the
-        # rare-filter aggregation + two-sided shingle self-join (three
-        # shuffles of the big frame). Safe only because the cap bounds the
-        # per-shingle pair array at max_shingle_df²/2.
-        grp = (
-            sh.groupBy("shingle")
-            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
-            .where(F.size("_ids").between(2, max_shingle_df))
-        )
-        pair_arr = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_ids") - 2),
-                lambda i: F.transform(
-                    F.slice(F.col("_ids"), i + 2, F.size("_ids")),
-                    lambda b: F.struct(
-                        F.get(F.col("_ids"), i).alias("id_a"), b.alias("id_b")
-                    ),
+        rare = rare.where(F.size("_ids") <= max_shingle_df)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ids") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                lambda b: F.struct(
+                    F.get(F.col("_ids"), i).alias("id_a"), b.alias("id_b")
                 ),
+            ),
+        )
+    )
+    inter_rare = (
+        rare.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter_rare"))
+    )
+
+    if max_shingle_df is not None:
+        # exactness correction: a candidate pair may ALSO share shingles
+        # hotter than the cap. Hot shingles are few and each document
+        # carries few of them, so per-doc hot-membership ARRAYS stay tiny —
+        # intersecting those per pair restores the exact count without ever
+        # enumerating a hot shingle's k² pairs.
+        hot_members = (
+            grp.where(F.size("_ids") > max_shingle_df)
+            .select("shingle", F.explode("_ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias("_hot"))
+        )
+        pairs = (
+            inter_rare
+            .join(hot_members.select(F.col(id_col).alias("id_a"),
+                                     F.col("_hot").alias("_hot_a")),
+                  "id_a", "left")
+            .join(hot_members.select(F.col(id_col).alias("id_b"),
+                                     F.col("_hot").alias("_hot_b")),
+                  "id_b", "left")
+            .withColumn(
+                "_inter",
+                F.col("_inter_rare")
+                + F.when(
+                    F.col("_hot_a").isNotNull() & F.col("_hot_b").isNotNull(),
+                    F.size(F.array_intersect(F.col("_hot_a"), F.col("_hot_b"))),
+                ).otherwise(F.lit(0)),
             )
         )
-        cand = (
-            grp.select(F.explode(pair_arr).alias("_p"))
-            .select(F.col("_p.id_a"), F.col("_p.id_b"))
-            .distinct()
-        )
     else:
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        cand = (
-            a.join(b, "shingle")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
+        pairs = inter_rare.withColumn("_inter", F.col("_inter_rare"))
+
     sizes = word_shingle_counts(df, id_col, text_col, n)
-    return _verified_jaccard(sh, sizes, cand, id_col, threshold)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("_nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_signatures(
@@ -261,9 +307,8 @@ def minhash_lsh_duplicates(
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard ≥ threshold."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    sizes = word_shingle_counts(df, id_col, text_col, shingle_n)
-    return _verified_jaccard(sh, sizes, cand.select("id_a", "id_b"), id_col, threshold)
+    return _verified_jaccard(df, cand.select("id_a", "id_b"), id_col,
+                             text_col, shingle_n, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
