@@ -158,19 +158,8 @@ def ngram_jaccard_pairs(
     rare = grp.where(F.size("_ids") >= 2)
     if max_shingle_df is not None:
         rare = rare.where(F.size("_ids") <= max_shingle_df)
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("_ids") - 2),
-            lambda i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
-                lambda b: F.struct(
-                    F.get(F.col("_ids"), i).alias("id_a"), b.alias("id_b")
-                ),
-            ),
-        )
-    )
     inter_rare = (
-        rare.select(F.explode(pair_arr).alias("_p"))
+        rare.select(F.explode(_pairs_expr("_ids")).alias("_p"))
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter_rare"))
@@ -236,23 +225,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over word shingles.
 
-    One md5 per shingle, then ``num_hashes`` affine functions
-    (a_i·h + b_i mod 2^31-1) as aggregations in ONE groupBy pass (map-side
-    combine keeps the shuffle at one row per doc). The family is
-    SQL-reproducible — the DuckDB oracle replays identical signatures."""
-    sh = word_shingles(df, id_col, text_col, shingle_n).withColumn(
-        "_h", md5_hash60(F.col("shingle")) % P30
+    ZERO-shuffle: a document's shingles live in its own row, so the
+    signature is array math — one md5 per shingle (bound to a column, no
+    lambda re-evaluation), then ``num_hashes`` affine array_min folds
+    (a_i·h + b_i mod 2^31-1). The previous formulation exploded shingles and
+    paid a 64-agg groupBy shuffle for something per-row computable. The
+    family is SQL-reproducible — the DuckDB oracle replays identical
+    signatures."""
+    arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
+    bound = arrays.withColumn(
+        "_base",
+        F.transform(F.col("sh_arr"), lambda s: md5_hash60(s) % P30),
     )
-    aggs = []
-    for i in range(num_hashes):
-        a, b = affine_coeffs(i)
-        aggs.append(
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % P31).alias(f"h{i}")
+    def _affine_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
         )
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+
+    elems = [_affine_min(*affine_coeffs(i)) for i in range(num_hashes)]
+    return bound.select(F.col(id_col), F.array(*elems).alias("sig"))
+
+
+def _pairs_expr(ids_col: str) -> Column:
+    """All ordered pairs from a sorted id-array column, emitted array-side
+    (the grouped-pairs pattern — the group size must be bounded by the
+    caller, since a k-id group emits k²/2 structs in one row)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids_col) - 2),
+            lambda i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(ids_col)),
+                lambda b: F.struct(
+                    F.get(F.col(ids_col), i).alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
     )
 
 
@@ -265,32 +272,51 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket → candidate pairs
-    (id_a, id_b, n_shared_bands)."""
+    (id_a, id_b, n_shared_bands).
+
+    Band buckets are derived array-side straight from the per-row base
+    hashes (each affine min feeds exactly ONE band hash — routing the
+    banding through the signature COLUMN lets CollapseProject inline the
+    whole 64-transform signature into the per-band lambda, re-evaluating it
+    per band; measured 5×). Candidates come from ONE groupBy(band, bucket)
+    with array-side pair emission — no self-join, so the signature pipeline
+    runs once, not once per join side."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: md5_hash60(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+    arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
+    bound = arrays.withColumn(
+        "_base",
+        F.transform(F.col("sh_arr"), lambda s: md5_hash60(s) % P30),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+
+    def _affine_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+        )
+
+    elems = [_affine_min(*affine_coeffs(i)) for i in range(num_hashes)]
+    band_hashes = [
+        md5_hash60(
+            F.concat_ws(
+                ",",
+                *[e.cast("string")
+                  for e in elems[b * rows_per_band:(b + 1) * rows_per_band]],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = bound.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
+    )
+    grp = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        grp.select(F.explode(_pairs_expr("_ids")).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
