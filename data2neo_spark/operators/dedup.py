@@ -340,11 +340,13 @@ def minhash_lsh_duplicates(
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash over word tokens: (id, simhash long), default 60 bits.
 
-    Per-bit weighted sums as ``bits`` native aggregations in one groupBy (no
-    UDF). Token hash = md5_hash60, so the signature is bit-identical in the
-    DuckDB oracle; 60 bits keep the value non-negative in a signed long (no
-    sign-bit special case).
-    """
+    Per-bit weighted sums as ``bits`` native aggregations in one groupBy —
+    deliberately NOT a per-row higher-order fold: HOF lambdas execute
+    interpreted (no whole-stage codegen), and 60 interpreted folds measured
+    ~2× slower than the codegen'd hash aggregate despite its shuffle. Token
+    hash = md5_hash60, so the signature is bit-identical in the DuckDB
+    oracle; 60 bits keep the value non-negative in a signed long (no
+    sign-bit special case)."""
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
@@ -407,17 +409,41 @@ def simhash_near_duplicates(
             ])
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                      "chunk_idx", "chunk")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                      "chunk_idx", "chunk")
+    # grouped-pairs per chunk bucket (one shuffle; the old a⋈b self-join
+    # recomputed the whole zero-shuffle signature per join side). A
+    # degenerate bucket of k near-identical docs emits k²/2 structs in one
+    # row — run exact dedup first in pipelines, as clean_corpus does.
+    grp = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                )
+            ).alias("_m")
+        )
+        .where(F.size("_m") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_m") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size("_m")),
+                lambda b: F.struct(
+                    F.get(F.col("_m"), i).getField("i").alias("id_a"),
+                    b.getField("i").alias("id_b"),
+                    F.get(F.col("_m"), i).getField("s").alias("sa"),
+                    b.getField("s").alias("sb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        grp.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.sa", "_p.sb")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
