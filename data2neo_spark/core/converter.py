@@ -109,6 +109,7 @@ class Converter:
         # sequenced sources (and dynamic-path long frames) persisted for
         # row-id determinism; released at the end of run()
         self._persisted: List[DataFrame] = []
+        self._node_bytes_est: Optional[int] = None
 
     # --------------------------------------------------------------------
 
@@ -376,7 +377,21 @@ class Converter:
                 for rule in self.schema.entities[etype].rel_rules
                 for m in (rule.from_match, rule.to_match)
             )
-            if needs_barrier:
+            # eager barrier (write + metrics) only for disk-backed stores —
+            # in-memory stores persist WITHOUT a count action: the first
+            # consumer fills the cache (one fewer source pass per
+            # conversion; metrics ride no action there, so they're skipped)
+            # byte estimate from the PRE-persist plan: an unfilled lazy
+            # cache (prefill=False) reports no statistics, but file sources
+            # behind the merge do. When even the pre-persist plan has no
+            # stats (RDD/createDataFrame sources), prefill eagerly so pass 2
+            # can read the filled cache's real size for the broadcast
+            # decision.
+            self._node_bytes_est = self._estimated_bytes(merged)
+            eager = needs_barrier and (
+                store.path is not None or self._node_bytes_est is None
+            )
+            if eager:
                 # observe(): rows-in metric rides the materialization action
                 # itself — no extra job (A6 counters, reference converter.py
                 # :67-70 shared-mp.Value counters)
@@ -384,8 +399,8 @@ class Converter:
 
                 obs = Observation()
                 merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
-            store.set_nodes(merged, materialize=needs_barrier)
-            if needs_barrier:
+            store.set_nodes(merged, materialize=needs_barrier, prefill=eager)
+            if eager:
                 store.log_stage(
                     "nodes",
                     n_nodes=obs.get.get("rows"),
@@ -404,6 +419,9 @@ class Converter:
                         store.log_stage(
                             "null_pk_dropped", rule=rule_id, n_rows=dropped
                         )
+            elif needs_barrier:
+                store.log_stage("nodes", lazy_cache=True,
+                                wall_s=round(time.time() - t0, 3))
 
         # ---------------- pass 2: relationships ------------------------
         t1 = time.time()
@@ -412,6 +430,8 @@ class Converter:
             broadcast_nodes = self.broadcast_nodes and have_nodes
         elif have_nodes:
             est = self._estimated_bytes(store.nodes)
+            if est is None:
+                est = getattr(self, "_node_bytes_est", None)
             if est is not None:
                 broadcast_nodes = est <= self.broadcast_bytes_limit
             else:

@@ -111,12 +111,19 @@ class GraphStore:
             self._node_count = self._nodes.count() if self._nodes is not None else 0
         return self._node_count
 
-    def set_nodes(self, df: DataFrame, materialize: bool = True) -> None:
+    def set_nodes(
+        self, df: DataFrame, materialize: bool = True, prefill: bool = True
+    ) -> None:
         """Install the merged node table; materializing it is the barrier
         between the node pass and the relationship pass (reference two-pass
-        design, converter.py:374-393) and the resume checkpoint."""
+        design, converter.py:374-393) and the resume checkpoint.
+
+        ``prefill=False`` (in-memory stores only): persist WITHOUT an eager
+        count action — the first consumer fills the cache. Saves one source
+        pass per conversion; correctness is unchanged because the plan is
+        deterministic and the cache fills exactly once."""
         if materialize:
-            df = self._materialize(df, "nodes")
+            df = self._materialize(df, "nodes", prefill=prefill)
         self.is_materialized = materialize
         self._nodes = df
         self._node_count = None
@@ -155,7 +162,7 @@ class GraphStore:
                 fh.write(json.dumps({"table": name, "partition": row["partition"],
                                      "rows": row["count"], "ts": time.time()}) + "\n")
 
-    def _materialize(self, df: DataFrame, name: str) -> DataFrame:
+    def _materialize(self, df: DataFrame, name: str, prefill: bool = True) -> DataFrame:
         if self.path is not None:
             import shutil
 
@@ -180,7 +187,8 @@ class GraphStore:
             self._partition_lineage(out, name)
             return out
         df = df.persist()
-        df.count()
+        if prefill:
+            df.count()
         # release the superseded cached table — streaming foreachBatch runs
         # a converter per micro-batch and would otherwise leak storage memory
         prev = self._cached.pop(name, None)
@@ -455,6 +463,22 @@ class GraphStore:
         if isinstance(node, Subgraph):
             for n in node.nodes:
                 self.pull(n)
+            # relationships refresh from the edge table by
+            # (src uid, type, dst uid) once endpoints carry identities
+            emeta = set(L.EDGE_META)
+            for rel in node.relationships:
+                rows = (
+                    self._edges.where(
+                        (F.col(L.SRC_UID) == rel.start_node.identity)
+                        & (F.col(L.RELTYPE) == rel.type)
+                        & (F.col(L.DST_UID) == rel.end_node.identity)
+                    ).collect()
+                    if self._edges is not None else []
+                )
+                if rows:
+                    for k, v in rows[0].asDict().items():
+                        if k not in emeta and v is not None:
+                            rel[k] = v
             return
         if node.__primarykey__ is None or node.__primarylabel__ is None:
             raise ValueError("pull requires a primary label and primary key")

@@ -217,3 +217,19 @@ def test_root_import_parity():
                  "register_subgraph_postprocessor",
                  "register_subgraph_preprocessor", "register_wrapper"):
         assert hasattr(d2s, name), name
+
+
+def test_subgraph_pull_refreshes_relationships(spark):
+    """Subgraph pull refreshes relationship properties too (reference
+    neo4j/__init__.py:41-48 pulls the whole subgraph)."""
+    from data2neo_spark import Converter, Node, Relationship, Subgraph
+
+    store = Converter(SCHEMA, [("t", spark.createDataFrame(PDF))])(spark)
+    p = Node("Person", id=1)
+    p.set_primary_key("id")
+    c = Node("City", city="Zurich")
+    c.set_primary_key("city")
+    rel = Relationship(p, "LIVES_IN", c)
+    store.pull(Subgraph([p, c], [rel]))
+    assert p["name"] == "Ada O'Hara"
+    assert rel["since"] == 2001
