@@ -508,6 +508,16 @@ def _text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_read(spark, sf_dir, "documents"), "doc_id", k=5)
 
 
+def _text_chunks(spark, sf_dir):
+    """Training-chunk splitter: 40-token chunks, 10-token overlap —
+    zero-shuffle array math, SQL-replayed by the oracle."""
+    from data2neo_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), "doc_id", max_tokens=40, overlap=10
+    )
+
+
 def _text_fingerprint(spark, sf_dir):
     from data2neo_spark.operators.text import with_fingerprint
 
@@ -712,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _text_tokens,
         "text_langid": _text_langid,
         "text_tfidf": _text_tfidf,
+        "text_chunks": _text_chunks,
         "text_fingerprint": _text_fingerprint,
         "corpus_clean": _corpus_clean,
         "multimodal_features": _multimodal_features,
@@ -1084,6 +1095,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"
         ),
+        "text_chunks": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        n AS (SELECT doc_id, w, len(w) AS nw,
+              greatest(1, CAST(ceil((len(w) - 10) * 1.0 / 30) AS INTEGER)) AS nc
+              FROM d)
+        SELECT doc_id, CAST(t.k AS BIGINT) AS chunk_id,
+               array_to_string(w[t.k*30+1 : t.k*30+40], ' ') AS chunk_text,
+               CAST(least(40, nw - t.k*30) AS BIGINT) AS n_tokens
+        FROM n, unnest(range(n.nc)) AS t(k)
+        """,
         "text_tfidf": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

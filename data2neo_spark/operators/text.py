@@ -191,3 +191,46 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(F.col(id_col), "word", "tf", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split documents into training-sized chunks with token overlap:
+    (id, chunk_id, chunk_text, n_tokens).
+
+    Chunk k covers tokens [k·stride, k·stride + max_tokens) with
+    stride = max_tokens − overlap; the last chunk may be short; documents
+    shorter than max_tokens yield one chunk. Zero-shuffle (array math over
+    the bound word column) and SQL-reproducible for the oracle."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(words) - F.lit(overlap)).cast("double") / stride).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(words, k * stride + 1, max_tokens)).alias("chunk_text"),
+            F.least(
+                F.lit(max_tokens), F.size(words) - k * stride
+            ).cast("long").alias("n_tokens"),
+        ),
+    )
+    return bound.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        F.col(id_col),
+        F.col("_c.chunk_id"),
+        F.col("_c.chunk_text"),
+        F.col("_c.n_tokens"),
+    )

@@ -255,3 +255,29 @@ def test_tfidf_top_terms(spark, docs):
         assert ranks == list(range(1, len(rows) + 1))
         scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_chunk_documents(spark):
+    from data2neo_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            " ".join(f"w{i}" for i in range(25)),   # 25 tokens -> 2 chunks
+            " ".join(f"w{i}" for i in range(10)),   # 10 tokens -> 1 chunk
+            " ".join(f"w{i}" for i in range(5)),    # shorter than overlap
+        ],
+    }))
+    out = chunk_documents(df, "doc_id", max_tokens=20, overlap=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 2 and len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    c0, c1 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert c0["n_tokens"] == 20 and c0["chunk_text"].startswith("w0 ")
+    # stride 15: second chunk starts at token 15, 10 tokens remain
+    assert c1["chunk_text"].split(" ")[0] == "w15" and c1["n_tokens"] == 10
+    # overlap: last 5 tokens of chunk0 == first 5 of chunk1
+    assert c0["chunk_text"].split(" ")[-5:] == c1["chunk_text"].split(" ")[:5]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", max_tokens=10, overlap=10)
