@@ -541,6 +541,13 @@ def _corpus_clean(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def _corpus_stats(spark, sf_dir):
+    """Per-language corpus profile (count/sum/avg/exact-median tokens)."""
+    from data2neo_spark.operators.corpus import corpus_stats
+
+    return corpus_stats(_read(spark, sf_dir, "documents"))
+
+
 def _multimodal_features(spark, sf_dir):
     """Arrow mapInPandas plumbing over binary payloads; sha256 + byte length
     are DuckDB-computable, so the stub pipeline is value-verified."""
@@ -725,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _text_chunks,
         "text_fingerprint": _text_fingerprint,
         "corpus_clean": _corpus_clean,
+        "corpus_stats": _corpus_stats,
         "multimodal_features": _multimodal_features,
         "agg_pricing_summary": _agg_pricing_summary,
         "agg_shipping_priority": _agg_shipping_priority,
@@ -1147,6 +1155,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.doc_id, l.lang, l.n_chars FROM langed l
         JOIN keepers k ON l.doc_id = k.doc_id
         """,
+        "corpus_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, "
+            "round(avg(len(string_split(text, ' '))), 4) AS avg_tokens, "
+            "median(len(string_split(text, ' '))) AS med_tokens, "
+            "CAST(sum(len(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "

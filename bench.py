@@ -84,7 +84,7 @@ def main() -> int:
         if k.startswith(("text_", "dedup_")) and v > 0
     )
     out = {
-        "metric": "total wall time, 41 headline queries (KG construct + dedup + similarity + text + multimodal)",
+        "metric": "total wall time, 42 headline queries (KG construct + dedup + similarity + text + multimodal)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -98,3 +98,29 @@ def clean_corpus(
         "'exact_dedup', n2, n3, 'near_dedup', n3, n4) AS (stage, rows_in, rows_out)"
     )
     return final, report
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language corpus profile — the standard pre-training data report:
+    (lang, n_docs, sum_tokens, avg_tokens, med_tokens, sum_chars).
+
+    One shuffle (groupBy lang); median is exact (Spark's median and DuckDB's
+    interpolate identically, verified by the oracle). At 100 TB this is a
+    single aggregation pass with map-side partials for everything except the
+    median, whose per-group sort is bounded by the language count."""
+    nw = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.withColumn("_nw", nw)
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nw").alias("sum_tokens"),
+            F.round(F.avg("_nw"), 4).alias("avg_tokens"),
+            F.median("_nw").alias("med_tokens"),
+            F.sum(F.length(F.col(text_col)).cast("long")).alias("sum_chars"),
+        )
+    )
