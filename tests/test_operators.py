@@ -281,3 +281,14 @@ def test_chunk_documents(spark):
     assert c0["chunk_text"].split(" ")[-5:] == c1["chunk_text"].split(" ")[:5]
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", max_tokens=10, overlap=10)
+
+
+def test_corpus_stats(spark, docs):
+    from data2neo_spark.operators.corpus import corpus_stats
+
+    stats = corpus_stats(docs.withColumn("lang", F.lit("en"))).collect()
+    assert len(stats) == 1
+    row = stats[0]
+    n = docs.count()
+    assert row["n_docs"] == n and row["sum_tokens"] > 0
+    assert row["med_tokens"] > 0 and row["sum_chars"] > 0
