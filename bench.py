@@ -75,16 +75,22 @@ def main() -> int:
         spark.catalog.clearCache()
     total = round(time.time() - t_total0, 3)
 
-    # north-rule throughputs
+    # north-rule throughputs — numerator-matched denominators: each rate
+    # divides rows produced by the wall time of EXACTLY the queries that
+    # produced them, so adding unrelated queries can't dilute the metric
+    # (the r1→r2 triples_per_sec "drop" was that artifact)
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    kg_secs = sum(v for k, v in timings.items() if k.startswith("kg_") and v > 0)
-    kg_triples = sum(v for k, v in counts.items() if k.startswith("kg_triples") and v > 0)
-    text_secs = sum(
-        v for k, v in timings.items()
-        if k.startswith(("text_", "dedup_")) and v > 0
-    )
+    triple_q = [k for k in timings if k.startswith("kg_triples") and timings[k] > 0]
+    kg_secs = sum(timings[k] for k in triple_q)
+    kg_triples = sum(counts[k] for k in triple_q)
+    text_q = [k for k in timings
+              if k.startswith(("text_", "dedup_")) and timings[k] > 0]
+    text_secs = sum(timings[k] for k in text_q)
     out = {
-        "metric": "total wall time, 42 headline queries (KG construct + dedup + similarity + text + multimodal)",
+        "metric": (
+            f"total wall time, {len(queries)} headline queries "
+            "(KG construct + dedup + similarity + text + multimodal)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -92,9 +98,17 @@ def main() -> int:
         "cpus": cpus,
         "rows": counts,
         "triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,
-        "docs_per_sec_textops": round(n_docs * 6 / text_secs, 1) if text_secs else None,
+        "docs_per_sec_textops": (
+            round(n_docs * len(text_q) / text_secs, 1) if text_secs else None
+        ),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # stdout of a long bench run can get truncated by the caller
+    # (BENCH_r02.json lost its header that way); the file is authoritative
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json"), "w") as fh:
+        fh.write(line + "\n")
     return 0
 
 

@@ -68,6 +68,8 @@ class GraphStore:
         # per absorb so repeated merges also overwrite each other
         self._absorb_seq = 1 << 40
         if path is not None:
+            import shutil
+
             os.makedirs(path, exist_ok=True)
             for name in ("nodes", "edges"):
                 target = os.path.join(path, name)
@@ -77,6 +79,27 @@ class GraphStore:
                     # crash between the two swap renames: recover the
                     # previous checkpoint instead of starting empty
                     os.rename(old, target)
+                # per-bucket swap recovery (overwrite_partitions uses the
+                # same rename-aside protocol per partition dir): a leftover
+                # _old_<_nbucket=b> dir means a crash mid-swap — restore it
+                # if the live partition is missing, else it is a completed
+                # swap's stale backup
+                if os.path.isdir(target):
+                    for entry in os.listdir(target):
+                        if not entry.startswith(f"_old_{BUCKET}="):
+                            continue
+                        part_dst = os.path.join(target, entry[len("_old_"):])
+                        part_old = os.path.join(target, entry)
+                        if os.path.exists(part_dst):
+                            shutil.rmtree(part_old, ignore_errors=True)
+                        else:
+                            os.rename(part_old, part_dst)
+            # stale swap staging dirs from a crashed writer (underscore
+            # prefix keeps Spark's reader from ever listing them)
+            for entry in os.listdir(path):
+                if entry.startswith("_tmp_"):
+                    shutil.rmtree(os.path.join(path, entry),
+                                  ignore_errors=True)
             if os.path.exists(os.path.join(path, "nodes", "_SUCCESS")):
                 self._nodes = spark.read.parquet(os.path.join(path, "nodes"))
             if os.path.exists(os.path.join(path, "edges", "_SUCCESS")):
@@ -132,11 +155,32 @@ class GraphStore:
         if materialize:
             df = self._materialize(df, "edges")
             # the materialized edge table no longer references converter
-            # sources — release any adopted upstream caches
+            # sources — release any adopted upstream caches. The NODE table
+            # may still be an unfilled lazy plan reading those same sources
+            # (materialize=False identifier-only schemas, or prefill=False
+            # caches no consumer has filled); pin it first, or a later
+            # action recomputes the sources with drifted SEQ_ROW and node
+            # uids stop matching the uids baked into this edge table
+            if self._adopted:
+                self._ensure_nodes_pinned()
             for adopted in self._adopted:
                 adopted.unpersist()
             self._adopted = []
         self._edges = df
+
+    def _ensure_nodes_pinned(self) -> None:
+        """Make the in-memory node table independent of converter sources:
+        persist+fill an unmaterialized plan, fill an unfilled lazy cache."""
+        if self._nodes is None or self.path is not None:
+            return
+        if not self.is_materialized:
+            self._nodes = self._materialize(self._nodes, "nodes", prefill=True)
+            self.is_materialized = True
+            self._node_count = None
+        else:
+            # persisted but possibly unfilled (prefill=False): one count
+            # action fills the cache; cheap if already filled
+            self._nodes.count()
 
     def adopt_persisted(self, dfs: List[DataFrame]) -> None:
         """Take ownership of persisted upstream frames still referenced by a
@@ -204,10 +248,13 @@ class GraphStore:
         files untouched on disk.
 
         Spark refuses an in-place overwrite of a path being read, so the
-        touched buckets are written to a tmp dir and swapped per-directory.
-        A crash mid-swap leaves a mix of old/new buckets — re-running the
-        same batch is idempotent (keyed merge), which restores consistency;
-        the per-bucket swap itself is a directory rename."""
+        touched buckets are written to a tmp dir and swapped per-directory
+        with the same rename-aside protocol as full tables: dst →
+        _old_<dst>, src → dst, delete _old_<dst>. A crash at any point
+        leaves either the old or the new bucket dir recoverable —
+        ``__init__`` restores a stranded ``_old_`` partition — so no
+        committed rows are ever lost; re-running the same batch (keyed
+        merge) then restores cross-bucket consistency."""
         import shutil
 
         if not self.buckets:
@@ -221,10 +268,15 @@ class GraphStore:
             part = f"{BUCKET}={b}"
             src = os.path.join(tmp, part)
             dst = os.path.join(target, part)
-            shutil.rmtree(dst, ignore_errors=True)
+            old = os.path.join(target, f"_old_{part}")
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, old)
             if os.path.exists(src):
                 os.rename(src, dst)
-            os.makedirs(dst, exist_ok=True)  # empty bucket stays valid
+            else:
+                os.makedirs(dst, exist_ok=True)  # empty bucket stays valid
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         out = self.spark.read.parquet(target)
         self._partition_lineage(out, name)
@@ -467,8 +519,11 @@ class GraphStore:
             # (src uid, type, dst uid) once endpoints carry identities
             emeta = set(L.EDGE_META)
             for rel in node.relationships:
+                # self.edges (BUCKET-stripped), not self._edges: on a
+                # bucketed store the raw table carries _nbucket, which is
+                # not in EDGE_META and would leak into rel properties
                 rows = (
-                    self._edges.where(
+                    self.edges.where(
                         (F.col(L.SRC_UID) == rel.start_node.identity)
                         & (F.col(L.RELTYPE) == rel.type)
                         & (F.col(L.DST_UID) == rel.end_node.identity)

@@ -97,11 +97,15 @@ def _verified_jaccard(
     it is capped/bucketed by construction."""
     arrays = _shingle_arrays(df, id_col, text_col, n)
     pairs = cand.select("id_a", "id_b")
+    # broadcast ONLY the bare pair list (small by construction — capped/
+    # bucketed candidate stage), never the intermediate that already
+    # carries _sa shingle arrays: that build side grows with array size
+    # and can blow the broadcast limit at scale. The second join's arrays
+    # side shuffles (or AQE promotes it when actually small).
     joined = (
-        pairs.hint("broadcast")
-        .join(arrays.select(F.col(id_col).alias("id_a"),
-                            F.col("sh_arr").alias("_sa")), "id_a")
-        .hint("broadcast")
+        arrays.select(F.col(id_col).alias("id_a"),
+                      F.col("sh_arr").alias("_sa"))
+        .join(pairs.hint("broadcast"), "id_a")
         .join(arrays.select(F.col(id_col).alias("id_b"),
                             F.col("sh_arr").alias("_sb")), "id_b")
     )
