@@ -526,6 +526,76 @@ def _text_fingerprint(spark, sf_dir):
     )
 
 
+def _structured_docs(spark, sf_dir) -> DataFrame:
+    """Corpus view with deterministic line/bullet/ellipsis structure (the
+    synthetic corpus is single-line, which would make the Gopher line
+    metrics constant-zero): three literal replaces, identical left-to-right
+    non-overlapping semantics in Spark and DuckDB, so the oracle replays
+    the same structured text."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+    text = F.replace(text, F.lit(" row "), F.lit("\n- "))
+    text = F.replace(text, F.lit(" slow "), F.lit("...\n"))
+    return docs.withColumn("text", text)
+
+
+def _text_quality_v2(spark, sf_dir):
+    """Gopher/C4 repetition + content battery (zero-shuffle projection)
+    joined with the top-bigram share (two partial-agg shuffles)."""
+    from data2neo_spark.operators.text import top_ngram_share, with_gopher_quality
+
+    docs = _structured_docs(spark, sf_dir)
+    g = with_gopher_quality(docs).select(
+        "doc_id", "n_words", "frac_dup_lines", "frac_dup_paragraphs",
+        "frac_bullet_lines", "frac_ellipsis_lines", "symbol_word_ratio",
+        "frac_stop_words", "frac_alpha_words",
+    )
+    return g.join(top_ngram_share(docs, "doc_id"), "doc_id")
+
+
+def _text_pii(spark, sf_dir):
+    """PII detect + redact over a corpus with deterministically synthesized
+    PII (the synthetic text carries none) — emails/phones/IPs derived from
+    doc_id by the same expression in the oracle, so hit counts AND the
+    full redacted text are value-verified."""
+    from data2neo_spark.operators.text import redact_pii
+
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    extra = F.concat(
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" mail u"), s(did), F.lit("@ex"), s(did % 7),
+                     F.lit(".org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" call +1555"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" host 10.2."), s(did % 256), F.lit(".9")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.withColumn("text", F.concat(F.col("text"), extra))
+    return redact_pii(d).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+def _contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 3-gram with the
+    'benchmark' slice (doc_id % 19 == 0) of the same corpus — broadcast
+    n-gram membership join, per-doc hit counts."""
+    from data2neo_spark.operators.dedup import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return contamination_check(corpus, bench, "doc_id", n=3)
+
+
 def _corpus_clean(spark, sf_dir):
     """Canonical training-data cleaning chain (quality → lang → exact dedup).
 
@@ -731,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _text_tfidf,
         "text_chunks": _text_chunks,
         "text_fingerprint": _text_fingerprint,
+        "text_quality_v2": _text_quality_v2,
+        "text_pii": _text_pii,
+        "contamination_check": _contamination_check,
         "corpus_clean": _corpus_clean,
         "corpus_stats": _corpus_stats,
         "multimodal_features": _multimodal_features,
@@ -810,6 +883,107 @@ def oracle_sql() -> dict[str, str]:
     score = lambda ws: " + ".join(occ(w) for w in ws)
     h60_shingle = _H60.format(x="shingle")
     h60_word = _H60.format(x="word")
+    # contamination_check: benchmark slice = doc_id % 19 == 0; exact 3-gram
+    # membership of corpus docs against the benchmark's distinct shingles
+    contamination = f"""
+        WITH {_SHINGLE_CTES}, bsh AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0
+        ), hits AS (
+            SELECT s.doc_id, count(*) AS n_hits
+            FROM sh s JOIN bsh USING (shingle)
+            WHERE s.doc_id % 19 <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT h.doc_id, h.n_hits, z.n_sh AS n_shingles,
+               round(h.n_hits * 1.0 / z.n_sh, 4) AS contaminated_frac
+        FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+    """
+    # text_quality_v2: Gopher/C4 battery over the deterministically
+    # structured corpus view (_structured_docs replaces, same order) +
+    # top-bigram share via the lead() bigram formulation
+    _docs2 = (
+        "docs2 AS (SELECT doc_id, "
+        "replace(replace(replace(text, ' table ', chr(10)), "
+        "' row ', chr(10) || '- '), ' slow ', '...' || chr(10)) AS text "
+        "FROM documents)"
+    )
+    stop_expr = " + ".join(occ(w) for w in ["the", "a", "of", "and", "to", "in"])
+    quality_v2 = f"""
+        WITH {_docs2}, base AS (
+            SELECT doc_id, text,
+                   string_split(text, ' ') AS words,
+                   string_split(text, chr(10)) AS lines,
+                   string_split(text, chr(10) || chr(10)) AS paras
+            FROM docs2
+        ), m AS (
+            SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                round((len(lines) - len(list_distinct(lines))) * 1.0
+                      / len(lines), 4) AS frac_dup_lines,
+                round((len(paras) - len(list_distinct(paras))) * 1.0
+                      / len(paras), 4) AS frac_dup_paragraphs,
+                round(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                      OR starts_with(ltrim(l), '* ')
+                      OR starts_with(ltrim(l), '• ')))
+                      * 1.0 / len(lines), 4) AS frac_bullet_lines,
+                round(len(list_filter(lines, l -> ends_with(l, '...')
+                      OR ends_with(l, '…')))
+                      * 1.0 / len(lines), 4) AS frac_ellipsis_lines,
+                round(((len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) / 3)
+                      * 1.0 / len(words), 4) AS symbol_word_ratio,
+                round(({stop_expr}) * 1.0 / len(words), 4) AS frac_stop_words,
+                round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                      * 1.0 / len(words), 4) AS frac_alpha_words
+            FROM base
+        ), tok2 AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   unnest(range(len(string_split(text, ' ')))) AS pos
+            FROM docs2
+        ), bg AS (
+            SELECT doc_id, word || ' ' || lead(word, 1) OVER w AS gram
+            FROM tok2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 1) OVER w IS NOT NULL
+        ), bgc AS (
+            SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2
+        ), tops AS (
+            SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_grams
+            FROM bgc GROUP BY 1
+        )
+        SELECT m.*, t.top_c, t.n_grams,
+               round(t.top_c * 1.0 / t.n_grams, 4) AS top_ngram_share
+        FROM m JOIN tops t USING (doc_id)
+    """
+    # text_pii: PII synthesized from doc_id by the same expression as the
+    # Spark query; the patterns are restricted to the Java∩RE2 common
+    # feature set so regexp_count/regexp_replace agree byte-for-byte
+    from data2neo_spark.operators.text import PII_PATTERNS
+
+    _em, _ph, _ip = (PII_PATTERNS["email"], PII_PATTERNS["phone"],
+                     PII_PATTERNS["ipv4"])
+    pii = f"""
+        WITH d AS (
+            SELECT doc_id, text
+                || (CASE WHEN doc_id % 3 = 0 THEN ' mail u'
+                     || CAST(doc_id AS VARCHAR) || '@ex'
+                     || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN ' call +1555'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN ' host 10.2.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.9' ELSE '' END)
+                AS text
+            FROM documents
+        )
+        SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '{_em}')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(text, '{_ph}')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(text, '{_ip}')) AS BIGINT) AS n_ipv4,
+            regexp_replace(regexp_replace(regexp_replace(text,
+                '{_em}', '<EMAIL>', 'g'), '{_ph}', '<PHONE>', 'g'),
+                '{_ip}', '<IPV4>', 'g') AS redacted
+        FROM d
+    """
     # dedup_ngram: DF-capped candidate generation + exact verification —
     # the same algorithm the Spark operator runs (max_shingle_df=50)
     shingles = f"""
@@ -1103,6 +1277,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"
         ),
+        "text_quality_v2": quality_v2,
+        "text_pii": pii,
+        "contamination_check": contamination,
         "text_chunks": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         n AS (SELECT doc_id, w, len(w) AS nw,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import minhash_lsh_duplicates
-from .text import with_langid, with_quality_features
+from .text import with_gopher_quality, with_langid, with_quality_features
 
 
 def clean_corpus(
@@ -37,6 +37,9 @@ def clean_corpus(
     keep_langs: Optional[List[str]] = None,
     near_dedup: bool = False,
     near_threshold: float = 0.8,
+    max_frac_dup_lines: Optional[float] = None,
+    max_symbol_word_ratio: Optional[float] = None,
+    min_frac_alpha_words: Optional[float] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, report).
 
@@ -56,6 +59,22 @@ def clean_corpus(
         & (F.col("n_words") <= max_words)
         & (F.col("digit_ratio") <= max_digit_ratio)
     )
+    # Gopher/C4 repetition + content gates ride the same zero-shuffle flag
+    # projection (with_gopher_quality is per-row Column math) — enabling
+    # them adds no pass and no shuffle to the chain
+    gopher_gates = [
+        ("frac_dup_lines", max_frac_dup_lines, "le"),
+        ("symbol_word_ratio", max_symbol_word_ratio, "le"),
+        ("frac_alpha_words", min_frac_alpha_words, "ge"),
+    ]
+    if any(v is not None for _, v, _d in gopher_gates):
+        flagged = with_gopher_quality(flagged, text_col)
+        for col, v, d in gopher_gates:
+            if v is None:
+                continue
+            q_ok = q_ok & (
+                (F.col(col) <= v) if d == "le" else (F.col(col) >= v)
+            )
     flagged = flagged.withColumn("_q_ok", q_ok)
     if keep_langs is not None:
         flagged = with_langid(flagged, text_col).withColumn(

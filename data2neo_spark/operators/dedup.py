@@ -63,18 +63,76 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def _shingle_expr(words: Column, n: int) -> Column:
+    """Array of n-word shingles over a BOUND word-array column (bind first —
+    higher-order lambdas get no CSE, see operators/text.word_shingles)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
 def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, sh_arr) — each document's distinct shingle set as ONE array row
     (zero-shuffle; the verification joins replicate arrays per candidate
     pair instead of shuffling shingle-level rows)."""
     bound = df.withColumn("_words", F.split(F.col(text_col), " "))
     words = F.col("_words")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
     return bound.where(F.size(words) >= n).select(
-        F.col(id_col), F.array_distinct(shingles).alias("sh_arr")
+        F.col(id_col), F.array_distinct(_shingle_expr(words, n)).alias("sh_arr")
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    bench_text_col: Optional[str] = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share ANY word
+    n-gram with a benchmark/eval set (exact n-gram membership — the
+    standard train/test contamination test for LLM corpora). Returns one
+    row per CONTAMINATED document:
+    (id, n_hits, n_shingles, contaminated_frac) where n_hits is the number
+    of the document's distinct n-grams found in the benchmark set.
+
+    Scale shape: the benchmark side is small by definition (eval suites are
+    thousands of docs, the corpus is billions), so its distinct n-gram set
+    is BROADCAST into a hash join against the corpus n-gram stream; the
+    only corpus-wide shuffle is the per-doc groupBy. No self-join and no
+    all-pairs plan anywhere (plan-gated in tests/test_plans.py). For a
+    benchmark too large to broadcast, pass the pre-exploded n-grams through
+    the same join without the hint and let AQE pick the strategy.
+
+    The reference has no such operator — first-class training-pipeline
+    extension (SURVEY §2 additions)."""
+    btext = bench_text_col or text_col
+    bbound = benchmark.withColumn("_bwords", F.split(F.col(btext), " "))
+    bwords = F.col("_bwords")
+    bench_sh = (
+        bbound.where(F.size(bwords) >= n)
+        .select(F.explode(F.array_distinct(_shingle_expr(bwords, n))).alias("shingle"))
+        .distinct()
+    )
+    corp = _shingle_arrays(corpus, id_col, text_col, n)
+    return (
+        corp.select(
+            F.col(id_col),
+            F.size("sh_arr").cast("long").alias("_n_sh"),
+            F.explode("sh_arr").alias("shingle"),
+        )
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.first("_n_sh").alias("n_shingles"),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.round(F.col("n_hits").cast("double") / F.col("n_shingles"), 4),
+        )
     )
 
 

@@ -7,7 +7,7 @@ the DuckDB oracle can verify it value-for-value.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -234,3 +234,150 @@ def chunk_documents(
         F.col("_c.chunk_text"),
         F.col("_c.n_tokens"),
     )
+
+
+# Gopher quality-filter stopwords (Rae et al. 2021, §A1.1 uses a "stop word"
+# presence check; this fixed list keeps the signal SQL-reproducible)
+GOPHER_STOPWORDS: List[str] = ["the", "a", "of", "and", "to", "in"]
+
+# PII detector classes — deliberately restricted to regex features with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# \b, bounded repetition, plain character classes
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{7,15}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition + content signals (Rae et al. 2021 §A1.1,
+    Raffel et al. 2020 §2.2) as ONE zero-shuffle native projection:
+
+    * frac_dup_lines / frac_dup_paragraphs — fraction of ``\\n`` lines /
+      ``\\n\\n`` paragraphs that are repeats of an earlier one;
+    * frac_bullet_lines — lines starting with a bullet ("- ", "* ", "• ");
+    * frac_ellipsis_lines — lines ending in "..." or "…";
+    * symbol_word_ratio — ("#" + ellipsis occurrences) / words;
+    * frac_stop_words — GOPHER_STOPWORDS occurrences / words;
+    * frac_alpha_words — words containing at least one [A-Za-z];
+    * n_words.
+
+    All metrics are per-row Column expressions (whole-stage codegen, no
+    shuffle, no python); the word/line splits are bound to real columns once
+    so higher-order lambdas don't re-evaluate them per element (see
+    word_shingles note). The repetition companion that DOES need an
+    aggregation (top n-gram share) lives in :func:`top_ngram_share`.
+    """
+    text = F.col(text_col)
+    bound = (
+        df.withColumn("_words", F.split(text, " "))
+        .withColumn("_lines", F.split(text, "\n"))
+        .withColumn("_paras", F.split(text, "\n\n"))
+    )
+    words, lines, paras = F.col("_words"), F.col("_lines"), F.col("_paras")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+
+    def _frac(num, den):
+        return F.round(num.cast("double") / den, 4)
+
+    stop_hits = sum(
+        [_occurrences(text, w) for w in GOPHER_STOPWORDS], F.lit(0)
+    )
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    bullet = F.filter(
+        lines,
+        lambda l: (
+            F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("• ")
+        ),
+    )
+    ellipsis_lines = F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")
+    )
+    alpha = F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    return (
+        bound.withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "frac_dup_lines", _frac(n_lines - F.size(F.array_distinct(lines)), n_lines)
+        )
+        .withColumn(
+            "frac_dup_paragraphs",
+            _frac(n_paras - F.size(F.array_distinct(paras)), n_paras),
+        )
+        .withColumn("frac_bullet_lines", _frac(F.size(bullet), n_lines))
+        .withColumn("frac_ellipsis_lines", _frac(F.size(ellipsis_lines), n_lines))
+        .withColumn("symbol_word_ratio", _frac(hash_cnt + ell_cnt, n_words))
+        .withColumn("frac_stop_words", _frac(stop_hits, n_words))
+        .withColumn("frac_alpha_words", _frac(F.size(alpha), n_words))
+        .drop("_words", "_lines", "_paras")
+    )
+
+
+def top_ngram_share(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Fraction of a document's word n-gram occurrences taken by its single
+    most frequent n-gram (the Gopher "top n-gram character share" family):
+    (id, top_c, n_grams, top_ngram_share).
+
+    Shape: explode n-grams → groupBy(id, gram) count → groupBy(id)
+    max/sum — two shuffles, both with map-side partial aggregation; this
+    codegen'd path beats an interpreted per-row higher-order fold (the
+    same measured tradeoff as SimHash, see operators/dedup.py). Documents
+    shorter than ``n`` words are absent from the result.
+    """
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    g = bound.where(F.size(words) >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_grams"))
+        .withColumn(
+            "top_ngram_share",
+            F.round(F.col("top_c").cast("double") / F.col("n_grams"), 4),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Optional[Dict[str, str]] = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII detection + redaction (the C4/CCNet privacy pass): per-class hit
+    counts ``n_<class>`` and a ``redacted`` text with each match replaced by
+    ``<CLASS>``.
+
+    Zero-shuffle native projection — regexp_count / regexp_replace are
+    JVM-side codegen'd expressions, value-reproducible in the DuckDB oracle
+    (len(regexp_extract_all) / regexp_replace 'g'). Classes are applied in
+    dict order; the defaults are ordered so earlier redactions cannot
+    create or destroy later matches (emails first — their local parts may
+    contain digits a phone pattern could otherwise claim).
+    """
+    pats = patterns or PII_PATTERNS
+    text = F.col(text_col)
+    out = df
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(text, F.lit(pat)).cast("long")
+        )
+    red = text
+    for kind, pat in pats.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, red)

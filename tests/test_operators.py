@@ -292,3 +292,110 @@ def test_corpus_stats(spark, docs):
     n = docs.count()
     assert row["n_docs"] == n and row["sum_tokens"] > 0
     assert row["med_tokens"] > 0 and row["sum_chars"] > 0
+
+
+# ---------------------------------------------------------------------------
+# round 3: gopher quality battery, PII, contamination
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def structured_docs(spark):
+    rows = [
+        # 4 lines, one duplicate ("same line"), one bullet, one ellipsis end
+        (0, "same line\nsame line\n- a bullet item\ntrailing thought..."),
+        # 2 paragraphs, second duplicates nothing; no bullets/ellipsis
+        (1, "first para here\n\nsecond para here"),
+        # symbols: two #, one ellipsis run; stopwords the/a/of
+        (2, "the price of # a thing # is high ... maybe"),
+        # numeric-only words pull frac_alpha_words below 1
+        (3, "alpha 123 456 beta"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_gopher_quality_battery(spark, structured_docs):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.with_gopher_quality(structured_docs).collect()
+    }
+    # doc 0: 4 lines, 1 duplicate line → 0.25; 1 bullet; 1 ellipsis line
+    assert got[0]["frac_dup_lines"] == 0.25
+    assert got[0]["frac_bullet_lines"] == 0.25
+    assert got[0]["frac_ellipsis_lines"] == 0.25
+    # doc 1: two distinct paragraphs, no dups anywhere
+    assert got[1]["frac_dup_paragraphs"] == 0.0
+    assert got[1]["frac_dup_lines"] == 0.0
+    # doc 2: 11 words; 2 '#' + 1 '...' → 3/11; stopwords the+of+a = 3/11
+    assert got[2]["symbol_word_ratio"] == round(3 / 11, 4)
+    assert got[2]["frac_stop_words"] == round(3 / 11, 4)
+    # doc 3: 2 of 4 words contain a letter
+    assert got[3]["frac_alpha_words"] == 0.5
+    assert got[3]["n_words"] == 4
+
+
+def test_top_ngram_share(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a b a b a b"), (1, "x y z w")],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in text.top_ngram_share(df, "doc_id", n=2).collect()}
+    # doc 0 bigrams: "a b"×3, "b a"×2 → top share 3/5
+    assert got[0]["top_c"] == 3 and got[0]["n_grams"] == 5
+    assert got[0]["top_ngram_share"] == 0.6
+    # doc 1: all 3 bigrams unique
+    assert got[1]["top_ngram_share"] == round(1 / 3, 4)
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "reach me at bob.smith+x@corp.example.org today"),
+                (1, "server 192.168.0.1 and backup 10.0.0.254"),
+                (2, "call +41791234567 now"),
+                (3, "nothing sensitive here"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {r["doc_id"]: r.asDict() for r in text.redact_pii(df).collect()}
+    assert got[0]["n_email"] == 1
+    assert got[0]["redacted"] == "reach me at <EMAIL> today"
+    assert got[1]["n_ipv4"] == 2
+    assert got[1]["redacted"] == "server <IPV4> and backup <IPV4>"
+    assert got[2]["n_phone"] == 1 and "<PHONE>" in got[2]["redacted"]
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+    assert got[3]["redacted"] == "nothing sensitive here"
+
+
+def test_contamination_check(spark, docs):
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, "fox jumps over the lazy dog today")],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.contamination_check(docs, bench, "doc_id", n=3).collect()}
+    # docs 0/1 share "fox jumps over", "jumps over the", "over the lazy",
+    # "the lazy dog" with the benchmark; doc 3/4 share nothing
+    assert got[0]["n_hits"] == 4 and got[1]["n_hits"] == 4
+    assert 3 not in got and 4 not in got
+    # doc 2 shares the prefix 3-grams but not the "sleepy" ones
+    assert got[2]["n_hits"] == 2
+    assert got[0]["contaminated_frac"] == round(4 / got[0]["n_shingles"], 4)
+
+
+def test_clean_corpus_gopher_gates(spark, structured_docs):
+    from data2neo_spark.operators.corpus import clean_corpus
+
+    kept, _ = clean_corpus(
+        structured_docs, min_words=1, max_frac_dup_lines=0.2,
+        min_frac_alpha_words=0.6,
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # doc 0 fails dup-line gate, doc 3 fails alpha gate
+    assert ids == {1, 2}

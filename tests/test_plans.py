@@ -127,3 +127,23 @@ def test_dedup_plans_have_no_nested_loop(spark):
     exact = plan_of(dedup.embedding_near_duplicates(
         emb, "vec_id", threshold=0.3, max_id=50))
     assert "NestedLoopJoin" in exact or "CartesianProduct" in exact
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """Scale gate: the benchmark n-gram set must be BROADCAST into the
+    corpus n-gram stream — no shuffle of the corpus for the membership
+    join, no self-join, no nested loop."""
+    from data2neo_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    plan = plan_of(contamination_check(corpus, bench, "doc_id", n=3))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    # the per-doc groupBy is the ONLY corpus-side hash shuffle; the
+    # benchmark's distinct adds its own (small side) — so at most 2, and
+    # none of them may be a join-key shuffle of the corpus shingle stream
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
