@@ -568,47 +568,102 @@ def lower_match(
             sel.append(F.col(k).alias(f"{side}_cond_{i}"))
     cand = cand.select(*sel)
 
-    join_cond = None
+    # bind each condition's row value to a REAL column (type-harmonized
+    # against the node column), so the suppression-mask branches below can
+    # reference one evaluation instead of recomputing wrapper UDF chains
+    rows_b = rows
     for i, (spec, k) in enumerate(cond_keys):
-        if k is None:
-            expr = F.lit(False)
-        else:
-            row_val = attr_column(spec, rows, entity_type)
+        row_val = attr_column(spec, rows, entity_type)
+        if k is not None:
             node_col = F.col(f"{side}_cond_{i}")
             node_dt = dtype_of(cand, node_col)
             row_dt = dtype_of(rows, row_val)
             if isinstance(node_dt, T.StringType) and not isinstance(row_dt, T.StringType):
                 row_val = python_str_column(row_val, row_dt)
             elif isinstance(row_dt, T.StringType) and not isinstance(node_dt, T.StringType):
-                node_col = python_str_column(node_col, node_dt)
-            expr = node_col == row_val
-        join_cond = expr if join_cond is None else (join_cond & expr)
-    if join_cond is None:
-        join_cond = F.lit(True)
+                cand = cand.withColumn(
+                    f"{side}_cond_{i}", python_str_column(node_col, node_dt)
+                )
+        rows_b = rows_b.withColumn(f"{side}_rv_{i}", row_val)
 
-    if broadcast_nodes:
-        # small node table: broadcast — no shuffle, skew-immune
-        joined = rows.join(F.broadcast(cand), on=join_cond, how="inner")
-    elif salt_buckets:
-        # A7 skew handling for shuffle joins against a huge node table:
-        # the row side gets a deterministic salt, the candidate side is
-        # replicated across all salt values — a hub key's rows spread over
-        # salt_buckets reducers instead of one straggler
-        rows = rows.withColumn(
-            f"{side}_salt",
-            F.pmod(F.xxhash64(F.col(SEQ_SRC), F.col(SEQ_ROW)), F.lit(salt_buckets)),
-        )
-        cand = cand.withColumn(
-            f"{side}_salt_c",
-            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))),
-        )
-        joined = rows.join(
-            cand,
-            on=join_cond & (F.col(f"{side}_salt") == F.col(f"{side}_salt_c")),
-            how="inner",
-        ).drop(f"{side}_salt", f"{side}_salt_c")
+    def _join(rside: DataFrame, jcond) -> DataFrame:
+        if broadcast_nodes:
+            # small node table: broadcast — no shuffle, skew-immune
+            return rside.join(F.broadcast(cand), on=jcond, how="inner")
+        if salt_buckets:
+            # A7 skew handling for shuffle joins against a huge node table:
+            # the row side gets a deterministic salt, the candidate side is
+            # replicated across all salt values — a hub key's rows spread
+            # over salt_buckets reducers instead of one straggler
+            rside = rside.withColumn(
+                f"{side}_salt",
+                F.pmod(F.xxhash64(F.col(SEQ_SRC), F.col(SEQ_ROW)), F.lit(salt_buckets)),
+            )
+            cand_s = cand.withColumn(
+                f"{side}_salt_c",
+                F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.lit(salt_buckets - 1).cast("long"))),
+            )
+            return rside.join(
+                cand_s,
+                on=jcond & (F.col(f"{side}_salt") == F.col(f"{side}_salt_c")),
+                how="inner",
+            ).drop(f"{side}_salt", f"{side}_salt_c")
+        return rside.join(cand, on=jcond, how="inner")
+
+    def _eq(i: int):
+        return F.col(f"{side}_cond_{i}") == F.col(f"{side}_rv_{i}")
+
+    # Partial wrapper suppression (reference matcher.py:71-76): a condition
+    # whose attribute a wrapper suppressed (NULL row value) is REMOVED from
+    # that row's condition set; only when EVERY condition is suppressed does
+    # the row match nothing. With >1 condition and wrappers in play, rows
+    # are routed by their null-mask to one equi join per observed condition
+    # subset (2^k−1 branches, k small by construction) — each branch stays
+    # a hashable equi join, so the broadcast/salted plan shape survives.
+    # Documented conflation (columnar representation): a condition value
+    # that is genuinely NULL (not suppressed) is also treated as removed;
+    # the reference would keep it and match nothing for that row.
+    suppressible = len(cond_keys) > 1 and any(
+        spec.wrappers for spec, _k in cond_keys
+    )
+    if not suppressible:
+        join_cond = None
+        for i, (spec, k) in enumerate(cond_keys):
+            expr = F.lit(False) if k is None else _eq(i)
+            join_cond = expr if join_cond is None else (join_cond & expr)
+        if join_cond is None:
+            join_cond = F.lit(True)
+        joined = _join(rows_b, join_cond)
     else:
-        joined = rows.join(cand, on=join_cond, how="inner")
+        from itertools import combinations
+
+        idxs = list(range(len(cond_keys)))
+        parts: List[DataFrame] = []
+        for r in range(1, len(idxs) + 1):
+            for subset in combinations(idxs, r):
+                if any(cond_keys[i][1] is None for i in subset):
+                    # unsuppressed condition on a property no node has —
+                    # those rows match nothing (skip the branch)
+                    continue
+                mask = None
+                for i in idxs:
+                    p = (
+                        F.col(f"{side}_rv_{i}").isNotNull()
+                        if i in subset
+                        else F.col(f"{side}_rv_{i}").isNull()
+                    )
+                    mask = p if mask is None else (mask & p)
+                jcond = None
+                for i in subset:
+                    jcond = _eq(i) if jcond is None else (jcond & _eq(i))
+                parts.append(_join(rows_b.filter(mask), jcond))
+        if parts:
+            joined = parts[0]
+            for p in parts[1:]:
+                joined = joined.unionByName(p)
+        else:  # every condition targets a nonexistent property
+            joined = _join(rows_b.filter(F.lit(False)), F.lit(False))
 
     for expr in post_label_exprs:
         joined = joined.filter(
@@ -617,6 +672,7 @@ def lower_match(
     if post_label_exprs:
         joined = joined.drop(f"{side}_all_labels")
     drop_cols = [f"{side}_cond_{i}" for i in range(len(cond_keys))]
+    drop_cols += [f"{side}_rv_{i}" for i in range(len(cond_keys))]
     return joined.drop(*drop_cols)
 
 

@@ -55,6 +55,10 @@ def _compile_matcher(instr: List[Any]) -> MatchSpec:
         (conditions if spec.key is not None else labels).append(spec)
     if not labels and not conditions:
         raise SchemaConfigException("MATCH requires at least one label or condition")
+    if not labels:
+        # reference matcher.py:52: conditions alone are not a valid MATCH —
+        # at least one label (static or dynamic) is required
+        raise ValueError("At least one label must be provided")
     return MatchSpec(labels=labels, conditions=conditions)
 
 

@@ -120,3 +120,42 @@ ENTITY("Other"):
     rows = store.nodes.collect()
     assert len(rows) == 1
     assert set(rows[0]["_labels"]) == {"Entity", "FirstLabel", "AnotherLabel"}
+
+
+# ---------------------------------------------------------------------------
+# round 3: reference parity edge cases (matcher.py:52, :71-76)
+# ---------------------------------------------------------------------------
+
+def test_labelless_match_rejected(spark):
+    """Reference matcher.py:52 — a MATCH with only conditions is invalid."""
+    with pytest.raises(ValueError, match="At least one label must be provided"):
+        run_match(spark, "MATCH(id = INT(probe.id))")
+
+
+def test_partially_suppressed_conditions_match_on_survivors(spark):
+    """Reference matcher.py:71-76 — a wrapper-suppressed condition is
+    REMOVED from that row's condition set; matching proceeds on the
+    remaining conditions. Only all-suppressed rows match nothing."""
+    from data2neo_spark import Attribute, register_attribute_postprocessor
+
+    @register_attribute_postprocessor
+    def suppress_neg_r3(attribute):
+        return None if (attribute.value or 0) < 0 else attribute
+
+    probe = pd.DataFrame({
+        "probe": [0, 1, 2],
+        "id": [-1, 2, -5],           # -1/-5 suppressed by the wrapper
+        "id2": pd.array([10, None, None], dtype="Int64"),
+        "Label": ["TestLabel"] * 3,
+        "missing": pd.array([None] * 3, dtype="float64"),
+    })
+    got = run_match(
+        spark,
+        'MATCH("TestLabel", id = suppress_neg_r3(INT(probe.id)), '
+        "id2 = INT(probe.id2))",
+        probe,
+    )
+    # row 0: id suppressed → match on id2=10 → node 1
+    # row 1: id2 null (removed) → match on id=2 → node 2
+    # row 2: both gone → match nothing
+    assert got == ["1", "2"]
