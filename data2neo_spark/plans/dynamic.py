@@ -141,19 +141,57 @@ def lower_node_rule_dynamic(df: DataFrame, rule: NodeRule) -> DataFrame:
     return df.mapInPandas(_run, schema=_LONG_SCHEMA)
 
 
-def _typed_props(df: DataFrame, json_col: str) -> Tuple[DataFrame, List[str]]:
-    """Parse a JSON props column into typed columns via schema inference.
+# rows sampled (driver-side, bounded collect) to infer the dynamic-path
+# property schema; raise if wrapper-produced property keys can legitimately
+# first appear beyond this many rows
+DYNAMIC_SCHEMA_SAMPLE_ROWS = 1000
 
-    The inference pass is an extra job, but only over the (rare, small)
-    dynamic-path rows — never the hot path.
+
+def _merge_scalar_type(cur: Optional[T.DataType], v: Any) -> T.DataType:
+    """Promote the merged type of a property across sampled rows:
+    bool < long < double < string; mixed/unknown → string."""
+    if isinstance(v, bool):
+        t: T.DataType = T.BooleanType()
+    elif isinstance(v, int):
+        t = T.LongType()
+    elif isinstance(v, float):
+        t = T.DoubleType()
+    else:  # str (P7 coerces exotic values to str before serialization)
+        t = T.StringType()
+    if cur is None or cur == t:
+        return t
+    if {type(cur), type(t)} == {T.LongType, T.DoubleType}:
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _typed_props(df: DataFrame, json_col: str) -> Tuple[DataFrame, List[str]]:
+    """Parse a JSON props column into typed columns.
+
+    The schema is inferred from a driver-side sample of up to
+    DYNAMIC_SCHEMA_SAMPLE_ROWS JSON strings — ONE bounded collect instead of
+    the previous ``spark.read.json(rdd)`` distributed inference, which cost
+    an extra full pass over the wrapper-produced rows and was the repo's
+    only RDD use. Sound because dynamic-path property dicts are flat
+    scalars by construction (_props_json runs coerce_value first, P7).
+    Contract: a property key whose FIRST occurrence lies beyond the sample
+    is dropped; schemas that sparse should set a larger sample bound.
     """
-    spark = df.sparkSession
-    strs = df.select(json_col).filter(F.col(json_col).isNotNull())
-    if strs.isEmpty():
+    strs = [
+        r[0]
+        for r in df.select(json_col)
+        .filter(F.col(json_col).isNotNull())
+        .limit(DYNAMIC_SCHEMA_SAMPLE_ROWS)
+        .collect()
+    ]
+    merged: dict = {}
+    for s in strs:
+        for k, v in json.loads(s).items():
+            merged[k] = _merge_scalar_type(merged.get(k), v)
+    if not merged:
         return df, []
-    # distributed schema inference (no driver collect of the data)
-    inferred = spark.read.json(strs.rdd.map(lambda r: r[0])).schema
-    fields = [f for f in inferred.fields if not f.name.startswith("_corrupt")]
+    # alphabetical field order matches the previous spark.read.json behavior
+    fields = [T.StructField(k, merged[k], True) for k in sorted(merged)]
     struct = T.StructType(fields)
     df = df.withColumn("_props", F.from_json(F.col(json_col), struct))
     for f in fields:

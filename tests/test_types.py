@@ -127,3 +127,27 @@ def test_static_value_types(spark):
     )
     assert row["s"] == "text" and row["i"] == 42
     assert row["f"] == 1.5 and row["b"] is True
+
+
+def test_dynamic_typed_props_sample_inference(spark):
+    """Round 3: the dynamic path infers property schema from a bounded
+    driver-side sample (no RDD, no spark.read.json pass) with type
+    promotion long+double→double, mixed→string."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from data2neo_spark.plans.dynamic import _typed_props
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "props_json": [
+            '{"a": 1, "b": "x", "c": true}',
+            '{"a": 2.5, "b": 7, "d": 3}',
+            None,
+        ]
+    }))
+    out, names = _typed_props(df, "props_json")
+    assert names == ["a", "b", "c", "d"]
+    types = dict(out.select(*names).dtypes)
+    assert types == {"a": "double", "b": "string", "c": "boolean", "d": "bigint"}
+    rows = {r["b"]: r.asDict() for r in out.filter(F.col("b").isNotNull()).collect()}
+    assert rows["x"]["a"] == 1.0 and rows["x"]["c"] is True
+    assert rows["7"]["a"] == 2.5 and rows["7"]["d"] == 3
