@@ -729,6 +729,45 @@ def _asof_join_events(spark, sf_dir):
     )
 
 
+def _asof_forward_events(spark, sf_dir):
+    """As-of join, forward direction: the earliest click at or after each
+    error (oracle: DuckDB ASOF with e.ts <= c.ts)."""
+    from data2neo_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, "ts", ["user_id"],
+                    value_cols=["click_id"], direction="forward")
+    return out.select(
+        "err_id", "user_id", F.col("click_id_right").alias("next_click_id")
+    )
+
+
+def _asof_nearest_events(spark, sf_dir):
+    """As-of join, nearest direction (ties prefer backward); oracle picks
+    between DuckDB's backward and forward ASOF joins with the same
+    tie-break."""
+    from data2neo_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, "ts", ["user_id"],
+                    value_cols=["click_id"], direction="nearest")
+    return out.select(
+        "err_id", "user_id", F.col("click_id_right").alias("near_click_id")
+    )
+
+
 def _range_join_events(spark, sf_dir):
     """Range join (bucketized equi join + exact filter): clicks within 10
     minutes after each error, counted per error."""
@@ -812,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_region_volume": _agg_region_volume,
         "agg_rollup_events": _agg_rollup_events,
         "asof_join_events": _asof_join_events,
+        "asof_forward_events": _asof_forward_events,
+        "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
         "window_running_sum": _window_running_sum,
         "window_events": _window_events,
@@ -1386,6 +1427,33 @@ def oracle_sql() -> dict[str, str]:
             "                FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND e.ts >= c.ts"
         ),
+        "asof_forward_events": (
+            "SELECT e.err_id, e.user_id, c.click_id AS next_click_id "
+            "FROM (SELECT user_id, ts, event_id AS err_id FROM events "
+            "      WHERE event_type = 'error') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id "
+            "                FROM events WHERE event_type = 'click') c "
+            "ON e.user_id = c.user_id AND e.ts <= c.ts"
+        ),
+        "asof_nearest_events": """
+            WITH e AS (SELECT user_id, ts, event_id AS err_id FROM events
+                       WHERE event_type = 'error'),
+            c AS (SELECT user_id, ts, event_id AS click_id FROM events
+                  WHERE event_type = 'click'),
+            b AS (SELECT e.err_id, e.user_id, e.ts, cb.ts AS bts,
+                         cb.click_id AS bid
+                  FROM e ASOF LEFT JOIN c cb
+                  ON e.user_id = cb.user_id AND e.ts >= cb.ts),
+            f AS (SELECT e.err_id, cf.ts AS fts, cf.click_id AS fid
+                  FROM e ASOF LEFT JOIN c cf
+                  ON e.user_id = cf.user_id AND e.ts <= cf.ts)
+            SELECT b.err_id, b.user_id,
+                   CASE WHEN b.bts IS NULL THEN f.fid
+                        WHEN f.fts IS NULL THEN b.bid
+                        WHEN (b.ts - b.bts) <= (f.fts - b.ts) THEN b.bid
+                        ELSE f.fid END AS near_click_id
+            FROM b JOIN f USING (err_id)
+        """,
         "range_join_events": (
             "SELECT err_id, count(*) AS n_clicks "
             "FROM (SELECT event_id AS err_id, ts AS win_start, "

@@ -30,14 +30,29 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
 ) -> DataFrame:
-    """For every left row, attach the latest (direction='backward') right row
-    with right.ts <= left.ts within the same `by` key (ties: right wins —
-    a right row at exactly left.ts is visible).
+    """For every left row, attach the nearest right row within the same
+    `by` key:
 
-    Returns left columns + value_cols renamed with `suffix` + `ts_right`.
+    * ``backward`` — latest right row with right.ts <= left.ts;
+    * ``forward`` — earliest right row with right.ts >= left.ts;
+    * ``nearest`` — whichever of the two is closer in time (exact ties
+      prefer the backward candidate).
+
+    A right row at exactly left.ts is visible in every direction. Returns
+    left columns + value_cols renamed with `suffix` + ``ts<suffix>``;
+    unmatched left rows keep NULLs (left-join semantics).
+
+    Scale note: one shuffle on `by`; backward/forward sort each partition
+    once, nearest sorts twice (asc + desc window over the same exchange —
+    Spark reuses the partitioning, only the in-partition sort repeats).
+    A single hot `by` key serializes into one partition's sort — inherent
+    to windowed as-of; if one key dominates, pre-split it by a coarse time
+    range (e.g. day) and as-of join per range with a boundary overlap.
     """
-    if direction not in ("backward",):
-        raise NotImplementedError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise NotImplementedError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
     value_cols = value_cols if value_cols is not None else [
         c for c in right.columns if c not in by and c != ts_col
     ]
@@ -60,18 +75,46 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at the same timestamp (_is_left asc)
-    w = (
+    # in BOTH traversal directions, so an exactly-equal right row is visible
+    w_back = (
         Window.partitionBy(*by)
         .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).desc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    names = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
+
+    def _carry(w, nm):
+        return F.last(F.col(nm), ignorenulls=True).over(w)
+
+    if direction == "backward":
+        sel = [_carry(w_back, nm).alias(nm) for nm in names]
+    elif direction == "forward":
+        sel = [_carry(w_fwd, nm).alias(nm) for nm in names]
+    else:  # nearest: pick the closer candidate per row, ties → backward
+        back_ts = _carry(w_back, f"{ts_col}{suffix}")
+        fwd_ts = _carry(w_fwd, f"{ts_col}{suffix}")
+        use_back = (
+            F.when(back_ts.isNull(), F.lit(False))
+            .when(fwd_ts.isNull(), F.lit(True))
+            .otherwise(
+                (F.col(ts_col) - back_ts) <= (fwd_ts - F.col(ts_col))
+            )
+        )
+        sel = [
+            F.when(use_back, _carry(w_back, nm))
+            .otherwise(_carry(w_fwd, nm))
+            .alias(nm)
+            for nm in names
+        ]
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("_is_left"),
-        *[F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in value_cols],
-        F.last(F.col(f"{ts_col}{suffix}"), ignorenulls=True).over(w)
-        .alias(f"{ts_col}{suffix}"),
+        *sel,
     )
     return carried.where(F.col("_is_left") == 1).drop("_is_left")
 

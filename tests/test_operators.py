@@ -399,3 +399,31 @@ def test_clean_corpus_gopher_gates(spark, structured_docs):
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     # doc 0 fails dup-line gate, doc 3 fails alpha gate
     assert ids == {1, 2}
+
+
+def test_asof_join_directions(spark):
+    """forward = earliest right at/after; nearest = closer of the two,
+    ties prefer backward; unmatched rows keep NULL."""
+    import datetime as dt
+    from data2neo_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "ts": [t(10), t(20), t(31)],
+                      "lid": ["a", "b", "c"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "ts": [t(12), t(28), t(40)],
+                      "rid": ["r1", "r2", "r3"]})
+    )
+
+    def run(direction):
+        out = asof_join(left, right, "ts", ["k"], value_cols=["rid"],
+                        direction=direction)
+        return {r["lid"]: r["rid_right"] for r in out.collect()}
+
+    assert run("backward") == {"a": None, "b": "r1", "c": "r2"}
+    assert run("forward") == {"a": "r1", "b": "r2", "c": "r3"}
+    # a: only forward exists; b: 20-12=8 == 28-20=8 tie → backward r1;
+    # c: 31-28=3 < 40-31=9 → backward r2
+    assert run("nearest") == {"a": "r1", "b": "r1", "c": "r2"}
