@@ -729,6 +729,41 @@ def _asof_join_events(spark, sf_dir):
     )
 
 
+def _streaming_mentions(spark, sf_dir):
+    """Batch-equivalence gate for the streaming path: the SAME stateless
+    mention pipeline as kg_webtext_mentions, run as a Structured Streaming
+    job (file source → availableNow → parquet sink); the sink's contents
+    must value-hash-match the batch oracle SQL — streaming is verified
+    against DuckDB, not just pytest."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data2neo_spark.pipeline.webtext import mention_triples
+
+    docs = _read(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="d2s_stream_oracle_")
+    # the returned DataFrame reads the sink lazily — clean up at exit
+    atexit.register(shutil.rmtree, base, True)
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ck = os.path.join(base, "ck")
+    docs.write.mode("overwrite").parquet(src)
+    q = (
+        mention_triples(spark.readStream.schema(docs.schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    # distinct triples: micro-batch boundaries must not change the result
+    return out.distinct()
+
+
 def _asof_forward_events(spark, sf_dir):
     """As-of join, forward direction: the earliest click at or after each
     error (oracle: DuckDB ASOF with e.ts <= c.ts)."""
@@ -854,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_events": _asof_forward_events,
         "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
+        "streaming_mentions": _streaming_mentions,
         "window_running_sum": _window_running_sum,
         "window_events": _window_events,
     }
@@ -1250,6 +1286,13 @@ def oracle_sql() -> dict[str, str]:
             "'Day:' || strftime(ts, '%Y-%m-%d') AS obj FROM events"
         ),
         "kg_webtext_mentions": (
+            "SELECT DISTINCT 'Doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+            "'MENTIONS' AS pred, 'Term:' || word AS obj "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            f"FROM documents) WHERE word IN ({webtext_dict})"
+        ),
+        # the streaming sink must equal the batch pipeline's triples exactly
+        "streaming_mentions": (
             "SELECT DISTINCT 'Doc:' || CAST(doc_id AS VARCHAR) AS subj, "
             "'MENTIONS' AS pred, 'Term:' || word AS obj "
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
