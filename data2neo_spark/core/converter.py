@@ -313,7 +313,19 @@ class Converter:
                 enriched.append((etype, enriched_df))
 
         incremental = store.path is not None and store.buckets > 0
-        if incremental and store.nodes is not None:
+        if (
+            skip_nodes
+            and not node_parts
+            and store.nodes is not None
+            and store.is_materialized
+        ):
+            # shared/batch mode (share_nodes_from) or a two-phase rerun:
+            # the node table is already a materialized checkpoint and this
+            # run contributes no node rows — re-merging it would be an
+            # identity aggregation, skip it
+            store.log_stage("nodes", shared=True,
+                            wall_s=round(time.time() - t0, 3))
+        elif incremental and store.nodes is not None:
             # bucketed disk store with prior contents: partition-pruned
             # upsert; with no new node parts the store is left untouched
             # (the full path would pointlessly rewrite it)

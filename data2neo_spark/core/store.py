@@ -182,6 +182,21 @@ class GraphStore:
             # action fills the cache; cheap if already filled
             self._nodes.count()
 
+    def share_nodes_from(self, other: "GraphStore") -> "GraphStore":
+        """Adopt another store's node table BY REFERENCE (batch-mode
+        amortization): N conversions targeting the same node universe run
+        the node pass once and pay only their own relationship pass —
+        ``Converter(..., store=GraphStore(spark).share_nodes_from(base))
+        (spark, skip_nodes=True)``. The node DataFrame (and its persisted
+        cache) is shared; this store's edges stay its own. Pin the donor
+        first (``_ensure_nodes_pinned``) if it was built lazily, so the
+        shared table is a materialized checkpoint, not a plan that each
+        consumer recomputes."""
+        self._nodes = other.raw_table("nodes")
+        self.is_materialized = other.is_materialized
+        self._node_count = other._node_count
+        return self
+
     def adopt_persisted(self, dfs: List[DataFrame]) -> None:
         """Take ownership of persisted upstream frames still referenced by a
         lazy edge plan; they are unpersisted at the next edge

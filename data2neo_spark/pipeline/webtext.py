@@ -77,6 +77,9 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 
 # dictionaries up to this size use the zero-shuffle in-row strategy
 ARRAY_STRATEGY_MAX_DICT = 50_000
+# rough bytes/row of a (surface, entity_id, canonical, kind) dict row, used
+# to translate the row cap into a byte cap for the stats-based decision
+_DICT_ROW_BYTES_EST = 128
 
 
 def detect_mentions(
@@ -104,11 +107,21 @@ def detect_mentions(
       aggregation for hot (url,surface) keys — the A7 two-phase pattern.
     """
     if strategy == "auto":
-        strategy = (
-            "array"
-            if entity_dict.count() <= ARRAY_STRATEGY_MAX_DICT and not salt_buckets
-            else "join"
-        )
+        if salt_buckets:
+            strategy = "join"
+        else:
+            # metadata decision, not an eager count() job: the optimizer's
+            # byte estimate is free for file-backed dicts (same pattern as
+            # the converter's broadcast decision, core/converter.py
+            # _estimated_bytes); count() only as a stats-less fallback
+            from ..core.converter import Converter
+
+            est = Converter._estimated_bytes(entity_dict)
+            if est is not None:
+                small = est <= ARRAY_STRATEGY_MAX_DICT * _DICT_ROW_BYTES_EST
+            else:
+                small = entity_dict.count() <= ARRAY_STRATEGY_MAX_DICT
+            strategy = "array" if small else "join"
 
     if strategy == "array":
         surfaces = [r[0] for r in entity_dict.select("surface").collect()]
