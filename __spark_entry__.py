@@ -422,6 +422,23 @@ def _dedup_ngram(spark, sf_dir):
     )
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters over the verified n-gram pairs:
+    iterative min-label propagation (connected components), replayed by
+    the oracle as a recursive min-reachability CTE — an oracle-verified
+    ITERATIVE operator."""
+    from data2neo_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.1,
+        max_shingle_df=50,
+    )
+    return duplicate_clusters(pairs)
+
+
 def _dedup_minhash(spark, sf_dir):
     from data2neo_spark.operators.dedup import minhash_lsh_duplicates
 
@@ -746,6 +763,23 @@ def _asof_join_events(spark, sf_dir):
     )
 
 
+def _id_registry(spark, sf_dir):
+    """North-star resource-ID registry: two register batches (customer
+    names, then supplier names) — batch-2 ids extend monotonically above
+    batch-1's, existing keys untouched. Sorted assignment is fully
+    SQL-replayable (row_number over key order)."""
+    from data2neo_spark import IDRegistry
+
+    reg = IDRegistry(spark)
+    reg.register(
+        _read(spark, sf_dir, "customer").select(F.col("c_name").alias("k")), "k"
+    )
+    reg.register(
+        _read(spark, sf_dir, "supplier").select(F.col("s_name").alias("k")), "k"
+    )
+    return reg.table
+
+
 def _streaming_mentions(spark, sf_dir):
     """Batch-equivalence gate for the streaming path: the SAME stateless
     mention pipeline as kg_webtext_mentions, run as a Structured Streaming
@@ -879,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sqlite": _kg_sqlite,
         "dedup_exact": _dedup_exact,
         "dedup_ngram": _dedup_ngram,
+        "dedup_clusters": _dedup_clusters,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -906,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_events": _asof_forward_events,
         "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
+        "id_registry": _id_registry,
         "streaming_mentions": _streaming_mentions,
         "window_running_sum": _window_running_sum,
         "window_events": _window_events,
@@ -1089,6 +1125,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN rare r ON a.shingle = r.shingle
             JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
         ){_VERIFY_SQL.format(threshold=0.1)}
+    """
+    # dedup_clusters: the same capped candidates + exact verification as
+    # dedup_ngram, then connected components as recursive min-reachability
+    clusters_sql = f"""
+        WITH RECURSIVE {_SHINGLE_CTES}, rare AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a
+            JOIN rare r ON a.shingle = r.shingle
+            JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+            GROUP BY 1, 2
+        ), verified AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.1
+        ), e AS (
+            SELECT id_a AS u, id_b AS v FROM verified
+            UNION SELECT id_b, id_a FROM verified
+        ), walk(v, lab) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+            UNION
+            SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.v
+        )
+        SELECT v AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY v
     """
     # dedup_minhash: full MinHash+LSH replay — identical md5-affine hash
     # family (operators/dedup.py affine_coeffs), banding, and verification
@@ -1308,6 +1374,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
             f"FROM documents) WHERE word IN ({webtext_dict})"
         ),
+        "id_registry": """
+            WITH b1 AS (SELECT DISTINCT c_name AS key FROM customer),
+            a1 AS (SELECT key, row_number() OVER (ORDER BY key) AS sid FROM b1),
+            b2 AS (SELECT DISTINCT s_name AS key FROM supplier
+                   WHERE s_name NOT IN (SELECT key FROM b1)),
+            m AS (SELECT max(sid) AS mx FROM a1)
+            SELECT key, CAST(sid AS BIGINT) AS sid FROM a1
+            UNION ALL
+            SELECT key, CAST(row_number() OVER (ORDER BY key)
+                             + (SELECT mx FROM m) AS BIGINT) AS sid FROM b2
+        """,
         # the streaming sink must equal the batch pipeline's triples exactly
         "streaming_mentions": (
             "SELECT DISTINCT 'Doc:' || CAST(doc_id AS VARCHAR) AS subj, "
@@ -1343,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation"
         ),
         "dedup_ngram": shingles,
+        "dedup_clusters": clusters_sql,
         "dedup_minhash": minhash,
         "dedup_simhash": simhash,
         "dedup_embedding": cos_pairs,

@@ -33,6 +33,7 @@ from .core.registrar import (
     register_vectorized_attribute_postprocessor,
 )
 from .core.store import GraphStore
+from .core.registry import IDRegistry
 from .core.converter import Converter
 from .sources.iterators import (
     ResourceIterator,
@@ -64,6 +65,7 @@ __all__ = [
     "AttributeFactoryWrapper",
     "SubgraphFactoryWrapper",
     "GraphStore",
+    "IDRegistry",
     "Converter",
     "ResourceIterator",
     "IteratorIterator",

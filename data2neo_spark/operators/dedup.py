@@ -572,3 +572,69 @@ def embedding_near_duplicates(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair list → (doc_id,
+    cluster_id), cluster_id = the smallest doc id in the component. The
+    standard "keep one per duplicate CLUSTER" step after any pairwise dedup
+    (pairs are not transitive: a~b, b~c must collapse a,b,c together).
+
+    Algorithm: iterative min-label propagation (hash-to-min). Each round is
+    one equi join + one groupBy (both with partial aggregation), followed by
+    a single count action for the convergence check; rounds needed = graph
+    diameter. Duplicate graphs are unions of near-cliques (every verified
+    pair is emitted, not a spanning tree), so the diameter is small — for
+    adversarial chain-shaped graphs switch to alternating large-star/
+    small-star (Kiveris et al. 2014), which is the same join shape run
+    O(log²) rounds. Labels are persisted per round and the lineage is cut
+    with localCheckpoint every 5 rounds so the plan can't grow unboundedly.
+
+    The whole computation is expressible as a recursive min-reachability
+    query, which is exactly how the DuckDB oracle replays it (WITH
+    RECURSIVE), so even this iterative operator is value-hash verified.
+    """
+    # symmetrize in ONE pass over the (possibly expensive) pairs plan: a
+    # union of two selects would recompute the upstream dedup pipeline per
+    # branch — the explode emits both directions from a single scan
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+        .persist()
+    )
+    lab = edges.select(F.col("u").alias("v")).distinct().select(
+        F.col("v"), F.col("v").alias("lab")
+    ).persist()
+    for i in range(max_iter):
+        flowed = edges.join(lab.withColumnRenamed("v", "u"), "u").select(
+            F.col("v"), F.col("lab")
+        )
+        new_lab = (
+            lab.unionByName(flowed).groupBy("v").agg(F.min("lab").alias("lab"))
+        ).persist()
+        if i > 0 and i % 5 == 0:
+            new_lab = new_lab.localCheckpoint(eager=False)
+        changed = (
+            new_lab.join(lab.withColumnRenamed("lab", "_old"), "v")
+            .where(F.col("lab") != F.col("_old"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new_lab
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab.select(F.col("v").alias("doc_id"), F.col("lab").alias("cluster_id"))

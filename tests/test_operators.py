@@ -427,3 +427,14 @@ def test_asof_join_directions(spark):
     # a: only forward exists; b: 20-12=8 == 28-20=8 tie → backward r1;
     # c: 31-28=3 < 40-31=9 → backward r2
     assert run("nearest") == {"a": "r1", "b": "r1", "c": "r2"}
+
+
+def test_duplicate_clusters(spark):
+    """Connected components over pairs: chain 1-2-3 collapses to one
+    cluster, isolated pair keeps its own, labels = component minimum."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 7, 10], "id_b": [2, 3, 8, 11]})
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}

@@ -1,0 +1,61 @@
+"""IDRegistry (north-star resource-ID registry): monotonic, dense, stable
+surrogate ids across batches; sorted vs partitioned assignment; crash-safe
+persistence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data2neo_spark import IDRegistry
+
+
+def _df(spark, keys):
+    return spark.createDataFrame(pd.DataFrame({"k": keys}))
+
+
+def test_sorted_assignment_dense_and_stable(spark):
+    reg = IDRegistry(spark)
+    reg.register(_df(spark, ["b", "a", "c", "a", None]), "k")
+    m1 = {r["key"]: r["sid"] for r in reg.table.collect()}
+    assert m1 == {"a": 1, "b": 2, "c": 3}          # dense, key-ordered
+    # second batch: existing keys keep ids, new keys extend monotonically
+    reg.register(_df(spark, ["c", "d", "b", "e"]), "k")
+    m2 = {r["key"]: r["sid"] for r in reg.table.collect()}
+    assert m2 == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+    # idempotent re-register
+    reg.register(_df(spark, ["d", "e"]), "k")
+    assert {r["key"]: r["sid"] for r in reg.table.collect()} == m2
+
+
+def test_partitioned_assignment_dense_monotonic_deterministic(spark):
+    keys = [f"key{i:04d}" for i in range(500)]
+    reg = IDRegistry(spark)
+    reg.register(_df(spark, keys), "k", assign="partitioned", num_partitions=8)
+    m1 = {r["key"]: r["sid"] for r in reg.table.collect()}
+    assert sorted(m1.values()) == list(range(1, 501))   # dense, no gaps
+    # deterministic: a fresh registry assigns identical ids
+    reg2 = IDRegistry(spark)
+    reg2.register(_df(spark, list(reversed(keys))), "k",
+                  assign="partitioned", num_partitions=8)
+    assert {r["key"]: r["sid"] for r in reg2.table.collect()} == m1
+    # new batch ids sit strictly above all prior ids
+    reg.register(_df(spark, ["zz1", "zz2"]), "k",
+                 assign="partitioned", num_partitions=8)
+    m2 = {r["key"]: r["sid"] for r in reg.table.collect()}
+    assert set(m2.items()) >= set(m1.items())
+    assert {m2["zz1"], m2["zz2"]} == {501, 502}
+
+
+def test_registry_persistence_and_lookup(spark, tmp_path):
+    d = str(tmp_path / "reg")
+    reg = IDRegistry(spark, path=d)
+    reg.register(_df(spark, ["x", "y"]), "k")
+    # reload from disk: max_id and mapping survive
+    reg2 = IDRegistry(spark, path=d)
+    assert reg2.max_id == 2
+    reg2.register(_df(spark, ["y", "z"]), "k")
+    m = {r["key"]: r["sid"] for r in reg2.table.collect()}
+    assert m == {"x": 1, "y": 2, "z": 3}
+    out = reg2.lookup(_df(spark, ["z", "nope"]), "k").collect()
+    got = {r["k"]: r["sid"] for r in out}
+    assert got == {"z": 3, "nope": None}
