@@ -666,3 +666,54 @@ class GraphStore:
         if spark.catalog.tableExists(f"{table_prefix}_edges"):
             store._edges = spark.table(f"{table_prefix}_edges")
         return store
+
+    def save_catalog(
+        self,
+        identifier_prefix: str,
+        format: str = "parquet",
+        partition_buckets: int = 0,
+    ) -> None:
+        """Persist nodes/edges as CATALOG tables via DataFrameWriterV2 —
+        the Iceberg path of the north rule. With an Iceberg catalog
+        configured (``spark.sql.catalog.<name>`` →
+        ``org.apache.iceberg.spark.SparkCatalog``) pass a catalog-qualified
+        prefix and ``format='iceberg'``: table replaces become snapshot
+        commits (Iceberg's ACID supersedes the engine's rename-aside swap)
+        and ``partition_buckets`` lays the data out with Iceberg's
+        ``bucket(N, key)`` partition transform, so incremental runs can
+        target touched buckets with ``MERGE INTO`` instead of
+        ``overwrite_partitions``. The identical code path runs against the
+        built-in session catalog with ``format='parquet'`` (this sandbox
+        ships no Iceberg runtime jars — the transform argument is the only
+        Iceberg-specific branch)."""
+        targets = [("nodes", self.nodes, L.UID), ("edges", self.edges, L.EID)]
+        for name, df, key in targets:
+            if df is None:
+                continue
+            ident = f"{identifier_prefix}_{name}"
+            w = df.writeTo(ident).using(format)
+            if partition_buckets:
+                if format != "iceberg":
+                    raise ValueError(
+                        "bucket partition transforms need an Iceberg catalog"
+                    )
+                w = w.partitionedBy(F.bucket(partition_buckets, F.col(key)))
+            try:
+                w.createOrReplace()
+            except Exception:
+                # the V1 session catalog has no atomic REPLACE TABLE AS
+                # SELECT — drop+create is the documented non-atomic
+                # fallback there; real Iceberg catalogs never hit this
+                self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+                w.create()
+
+    @classmethod
+    def load_catalog(
+        cls, spark: SparkSession, identifier_prefix: str
+    ) -> "GraphStore":
+        store = cls(spark)
+        if spark.catalog.tableExists(f"{identifier_prefix}_nodes"):
+            store._nodes = spark.table(f"{identifier_prefix}_nodes")
+        if spark.catalog.tableExists(f"{identifier_prefix}_edges"):
+            store._edges = spark.table(f"{identifier_prefix}_edges")
+        return store

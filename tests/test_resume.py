@@ -109,3 +109,31 @@ def test_bucketed_save_load(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_test_nodes")
         spark.sql("DROP TABLE IF EXISTS bucketed_test_edges")
+
+
+def test_catalog_save_load_v2(spark):
+    """DataFrameWriterV2 catalog persistence (the Iceberg code path, run
+    here against the session catalog with parquet): createOrReplace
+    roundtrip, replace supersedes, bucket transforms rejected without an
+    Iceberg catalog."""
+    import pytest as _pytest
+
+    v1 = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+    store = GraphStore(spark)
+    Converter(SCHEMA, [("T", spark.createDataFrame(v1))], store=store)(spark)
+    try:
+        store.save_catalog("catalog_v2_test")
+        re = GraphStore.load_catalog(spark, "catalog_v2_test")
+        assert re.nodes.count() == 3 and re.edges is None  # node-only schema
+        # replace: a second save supersedes the table atomically
+        v2 = pd.DataFrame({"id": [1, 2], "name": ["a", "b"]})
+        store2 = GraphStore(spark)
+        Converter(SCHEMA, [("T", spark.createDataFrame(v2))], store=store2)(spark)
+        store2.save_catalog("catalog_v2_test")
+        assert GraphStore.load_catalog(spark, "catalog_v2_test").nodes.count() == 2
+        # iceberg-only branch is gated, not silently wrong
+        with _pytest.raises(ValueError, match="Iceberg"):
+            store2.save_catalog("catalog_v2_test", partition_buckets=8)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS catalog_v2_test_nodes")
+        spark.sql("DROP TABLE IF EXISTS catalog_v2_test_edges")
