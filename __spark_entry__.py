@@ -587,6 +587,17 @@ def _text_quality_v2(spark, sf_dir):
     return g.join(top_ngram_share(docs, "doc_id"), "doc_id")
 
 
+def _text_dedupe_lines(spark, sf_dir):
+    """C4-style within-document repetition removal over the structured
+    corpus view — zero-shuffle array rewrite, full deduped text
+    hash-verified."""
+    from data2neo_spark.operators.text import dedupe_lines
+
+    return dedupe_lines(_structured_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines", "n_lines_kept", "text_deduped"
+    )
+
+
 def _text_pii(spark, sf_dir):
     """PII detect + redact over a corpus with deterministically synthesized
     PII (the synthetic text carries none) — emails/phones/IPs derived from
@@ -929,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_quality_v2": _text_quality_v2,
         "text_pii": _text_pii,
+        "text_dedupe_lines": _text_dedupe_lines,
         "contamination_check": _contamination_check,
         "corpus_clean": _corpus_clean,
         "corpus_stats": _corpus_stats,
@@ -1083,6 +1095,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.*, t.top_c, t.n_grams,
                round(t.top_c * 1.0 / t.n_grams, 4) AS top_ngram_share
         FROM m JOIN tops t USING (doc_id)
+    """
+    # text_dedupe_lines: first-occurrence line filter over the same
+    # structured view; DuckDB's 1-based lambda index vs Spark's 0-based is
+    # absorbed by list_position = i vs array_position = i + 1
+    dedupe_lines_sql = f"""
+        WITH {_docs2}, base AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs2
+        ), d AS (
+            SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                   array_to_string(
+                       list_filter(lines, (x, i) -> list_position(lines, x) = i),
+                       chr(10)) AS text_deduped
+            FROM base
+        )
+        SELECT doc_id, n_lines,
+               CAST(len(string_split(text_deduped, chr(10))) AS BIGINT)
+                   AS n_lines_kept,
+               text_deduped
+        FROM d
     """
     # text_pii: PII synthesized from doc_id by the same expression as the
     # Spark query; the patterns are restricted to the Java∩RE2 common
@@ -1458,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality_v2": quality_v2,
         "text_pii": pii,
+        "text_dedupe_lines": dedupe_lines_sql,
         "contamination_check": contamination,
         "text_chunks": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

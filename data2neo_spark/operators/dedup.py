@@ -627,6 +627,13 @@ def duplicate_clusters(
         ).persist()
         if i > 0 and i % 5 == 0:
             new_lab = new_lab.localCheckpoint(eager=False)
+        if i == 0:
+            # round 0 always changes labels when any edge exists — skip the
+            # convergence join+count (one fewer job; the persisted frame
+            # fills lazily on round 1's first use)
+            lab.unpersist()
+            lab = new_lab
+            continue
         changed = (
             new_lab.join(lab.withColumnRenamed("lab", "_old"), "v")
             .where(F.col("lab") != F.col("_old"))

@@ -381,3 +381,36 @@ def redact_pii(
     for kind, pat in pats.items():
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn(out_col, red)
+
+
+def dedupe_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+    paragraph: bool = False,
+) -> DataFrame:
+    """C4-style within-document repetition removal: drop every line (or
+    paragraph with ``paragraph=True``) that repeats an earlier one,
+    preserving first occurrences and their order; adds ``n_lines`` /
+    ``n_lines_kept`` counters.
+
+    Zero-shuffle per-row array math: a line is kept iff its position is the
+    FIRST occurrence (``array_position`` returns the first match). The
+    check is O(lines²) per document — lines-per-doc is bounded in practice;
+    the whole transform stays inside the scan stage. DuckDB twin:
+    ``list_filter(lines, (x, i) -> list_position(lines, x) = i)`` (both
+    engines' lambda index and position are consistent after the 0/1-base
+    shift)."""
+    sep = "\n\n" if paragraph else "\n"
+    bound = df.withColumn("_lines", F.split(F.col(text_col), sep))
+    lines = F.col("_lines")
+    kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+    return (
+        bound.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn(out_col, F.concat_ws(sep, kept))
+        .withColumn(
+            "n_lines_kept",
+            F.size(F.split(F.col(out_col), sep)).cast("long"),
+        )
+        .drop("_lines")
+    )

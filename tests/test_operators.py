@@ -438,3 +438,27 @@ def test_duplicate_clusters(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup.duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
+def test_dedupe_lines(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a\nb\na\nc\nb",          # dups at positions 3 and 5
+                "only one line",
+                "x\nx\nx",
+            ],
+        })
+    )
+    got = {r["doc_id"]: r.asDict() for r in text.dedupe_lines(df).collect()}
+    assert got[0]["text_deduped"] == "a\nb\nc"
+    assert got[0]["n_lines"] == 5 and got[0]["n_lines_kept"] == 3
+    assert got[1]["text_deduped"] == "only one line"
+    assert got[2]["text_deduped"] == "x" and got[2]["n_lines_kept"] == 1
+    # paragraph mode splits on blank lines
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["p1\n\np2\n\np1"]})
+    )
+    out = text.dedupe_lines(pdf, paragraph=True).collect()[0]
+    assert out["text_deduped"] == "p1\n\np2"
