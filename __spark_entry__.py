@@ -598,6 +598,17 @@ def _text_dedupe_lines(spark, sf_dir):
     )
 
 
+def _text_remove_shared(spark, sf_dir):
+    """Substring-level cross-doc dedup (Lee et al. style): 8-token windows
+    appearing in ≥2 documents are cut from all of them; the rebuilt text is
+    hash-verified."""
+    from data2neo_spark.operators.text import remove_shared_ngrams
+
+    return remove_shared_ngrams(
+        _read(spark, sf_dir, "documents"), "doc_id", n=8, min_docs=2
+    ).select("doc_id", "n_tokens_removed", "text_cleaned")
+
+
 def _text_pii(spark, sf_dir):
     """PII detect + redact over a corpus with deterministically synthesized
     PII (the synthetic text carries none) — emails/phones/IPs derived from
@@ -941,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_v2": _text_quality_v2,
         "text_pii": _text_pii,
         "text_dedupe_lines": _text_dedupe_lines,
+        "text_remove_shared": _text_remove_shared,
         "contamination_check": _contamination_check,
         "corpus_clean": _corpus_clean,
         "corpus_stats": _corpus_stats,
@@ -1114,6 +1126,45 @@ def oracle_sql() -> dict[str, str]:
                    AS n_lines_kept,
                text_deduped
         FROM d
+    """
+    # text_remove_shared: cross-doc 8-token-window dedup — lead() windows
+    # with positions, shared set by distinct-doc count, covered positions
+    # unnested, kept tokens re-aggregated in position order
+    _w8 = " || ' ' || ".join(
+        ["word"] + [f"lead(word, {k}) OVER w" for k in range(1, 8)]
+    )
+    remove_shared_sql = f"""
+        WITH tokp AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   unnest(range(len(string_split(text, ' ')))) AS pos
+            FROM documents
+        ), win AS (
+            SELECT doc_id, pos, {_w8} AS sh
+            FROM tokp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 7) OVER w IS NOT NULL
+        ), shared AS (
+            SELECT sh FROM win GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        ), cov AS (
+            SELECT DISTINCT doc_id, cpos FROM (
+                SELECT w.doc_id, unnest(range(w.pos, w.pos + 8)) AS cpos
+                FROM win w JOIN shared s ON s.sh = w.sh
+            )
+        ), agg AS (
+            SELECT t.doc_id,
+                   string_agg(t.word, ' ' ORDER BY t.pos) AS text_cleaned
+            FROM tokp t LEFT JOIN cov c
+              ON c.doc_id = t.doc_id AND c.cpos = t.pos
+            WHERE c.cpos IS NULL
+            GROUP BY t.doc_id
+        ), ncov AS (
+            SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n.nrem, 0) AS BIGINT) AS n_tokens_removed,
+               coalesce(a.text_cleaned, '') AS text_cleaned
+        FROM documents d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        LEFT JOIN ncov n ON n.doc_id = d.doc_id
     """
     # text_pii: PII synthesized from doc_id by the same expression as the
     # Spark query; the patterns are restricted to the Java∩RE2 common
@@ -1490,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_v2": quality_v2,
         "text_pii": pii,
         "text_dedupe_lines": dedupe_lines_sql,
+        "text_remove_shared": remove_shared_sql,
         "contamination_check": contamination,
         "text_chunks": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -414,3 +414,64 @@ def dedupe_lines(
         )
         .drop("_lines")
     )
+
+
+def remove_shared_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    out_col: str = "text_cleaned",
+) -> DataFrame:
+    """Substring-level cross-document dedup (Lee et al. 2021,
+    "Deduplicating Training Data"): every token window of ``n`` words that
+    appears in at least ``min_docs`` DISTINCT documents is removed from all
+    of them; overlapping windows merge into spans. Returns the input plus
+    ``out_col`` (rebuilt text) and ``n_tokens_removed``.
+
+    Shape: one posexplode of the window stream → groupBy(window) distinct-
+    doc count → repeated windows join back → per-doc covered-position
+    arrays → zero-shuffle span-union + token filter (higher-order array
+    functions) rebuilds the text in the scan stage. Two window-keyed
+    shuffles + one id-keyed join; the window string itself is the key (the
+    DuckDB oracle replays it verbatim — hash it with md5 to shrink shuffle
+    width at scale, at the cost of oracle simplicity). A window shared by k
+    docs emits k rows here — linear, never k² (contrast candidate
+    generation in dedup.ngram_jaccard_pairs, which must pair them).
+    """
+    from .dedup import _shingle_expr
+
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    wins = bound.select(
+        F.col(id_col), F.posexplode(_shingle_expr(words, n)).alias("pos", "sh")
+    )
+    shared = (
+        wins.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    covered = (
+        wins.join(shared, "sh")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_poss"))
+    )
+    cleaned = bound.join(covered, id_col, "left")
+    cov = F.when(F.col("_poss").isNull(), F.array().cast("array<int>")).otherwise(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("_poss"), lambda p: F.sequence(p, p + F.lit(n - 1)))
+            )
+        )
+    )
+    cleaned = cleaned.withColumn("_cov", cov)
+    kept = F.filter(
+        words, lambda w, i: ~F.array_contains(F.col("_cov"), i)
+    )
+    return (
+        cleaned.withColumn(out_col, F.concat_ws(" ", kept))
+        .withColumn("n_tokens_removed", F.size("_cov").cast("long"))
+        .drop("_words", "_poss", "_cov")
+    )

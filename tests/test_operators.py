@@ -462,3 +462,28 @@ def test_dedupe_lines(spark):
     )
     out = text.dedupe_lines(pdf, paragraph=True).collect()[0]
     assert out["text_deduped"] == "p1\n\np2"
+
+
+def test_remove_shared_ngrams(spark):
+    """3-token windows shared across docs are cut from every doc;
+    overlapping windows merge into spans; unique text survives."""
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta unique0 tail0",
+                "intro1 alpha beta gamma delta unique1",
+                "nothing shared here at all friends",
+            ],
+        })
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in text.remove_shared_ngrams(df, "doc_id", n=3).collect()}
+    # windows "alpha beta gamma" and "beta gamma delta" repeat in docs 0/1
+    # → covered spans are tokens 0..3 (doc 0) and 1..4 (doc 1)
+    assert got[0]["text_cleaned"] == "unique0 tail0"
+    assert got[0]["n_tokens_removed"] == 4
+    assert got[1]["text_cleaned"] == "intro1 unique1"
+    assert got[1]["n_tokens_removed"] == 4
+    assert got[2]["text_cleaned"] == got[2]["text"]
+    assert got[2]["n_tokens_removed"] == 0
