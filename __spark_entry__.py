@@ -785,6 +785,19 @@ def _asof_join_events(spark, sf_dir):
     )
 
 
+def _graph_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank (4 iterations) over the Order→Part
+    bipartite graph — the oracle unrolls every iteration as a CTE and
+    replays the exact floor-division arithmetic."""
+    from data2neo_spark.operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    return pagerank(li, iters=4)
+
+
 def _id_registry(spark, sf_dir):
     """North-star resource-ID registry: two register batches (customer
     names, then supplier names) — batch-2 ids extend monotonically above
@@ -965,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_events": _asof_forward_events,
         "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
+        "graph_pagerank": _graph_pagerank,
         "id_registry": _id_registry,
         "streaming_mentions": _streaming_mentions,
         "window_running_sum": _window_running_sum,
@@ -1030,6 +1044,29 @@ def _lsh_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
         dot = f"list_sum(list_transform(list_zip(e, [{lits}]), p -> p[1] * p[2]))"
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _pagerank_sql(iters: int, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank oracle — one CTE per iteration, every
+    floor division replayed exactly (operators/graph.pagerank)."""
+    ctes = [f"""e AS (SELECT l_orderkey AS src, l_partkey + 10000000 AS dst
+            FROM lineitem),
+        nodes AS (SELECT DISTINCT v FROM
+            (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON d.src = e.src),
+        p0 AS (SELECT v, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS pr
+               FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""p{i + 1} AS (
+            SELECT nd.v, CAST(({scale} * 15) // (100 * (SELECT n FROM nn))
+                   + (coalesce(s.inc, 0) * 85) // 100 AS BIGINT) AS pr
+            FROM nodes nd LEFT JOIN (
+                SELECT ed.dst, sum(p.pr // ed.deg) AS inc
+                FROM ed JOIN p{i} p ON p.v = ed.src GROUP BY ed.dst
+            ) s ON s.dst = nd.v)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM p{iters}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1456,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
             f"FROM documents) WHERE word IN ({webtext_dict})"
         ),
+        "graph_pagerank": _pagerank_sql(iters=4),
         "id_registry": """
             WITH b1 AS (SELECT DISTINCT c_name AS key FROM customer),
             a1 AS (SELECT key, row_number() OVER (ORDER BY key) AS sid FROM b1),

@@ -1,0 +1,81 @@
+"""Graph analytics over the materialized KG (edge-table algorithms).
+
+The converter's output is a plain edge DataFrame — entity-importance
+signals (which entities dominate the corpus graph) are a standard
+post-construction step for KG pipelines. Everything here is expressed as
+joins + aggregations over the edge list; iterative algorithms persist per
+round and cut lineage, like operators/dedup.duplicate_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic: ranks are longs
+    scaled by ``scale``; every operation is integer +, ×, floor-division
+    on positives — bit-identical across engines, so the DuckDB oracle
+    replays all ``iters`` iterations exactly (unrolled CTEs) and the
+    result is value-hash verifiable, unlike float PageRank whose
+    summation order perturbs the last ulp.
+
+    Simplifications (documented, replayed identically by the oracle):
+    dangling-node mass is dropped, not redistributed; truncation from
+    floor division is not re-normalized. Both vanish at ranking
+    granularity and keep the arithmetic exactly reproducible.
+
+    Shape per iteration: one join of the (src, dst, deg) edge frame with
+    the rank frame + one groupBy(dst) with map-side partial sums + one
+    left join back to the node set — all key-partitioned equi joins; hub
+    skew behaves like any hot-key aggregation (AQE skew-join or salting
+    applies). Ranks persist per round; previous rounds unpersist.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").persist()
+    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("long")).persist()
+    for _ in range(iters):
+        contrib = (
+            ed.join(pr.withColumnRenamed("v", "src"), "src")
+            .withColumn("c", F.expr("pr div deg"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        new_pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .withColumn(
+                "pr",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(inc, 0L) * {damping_num}) div {damping_den}"
+                    )
+                ).cast("long"),
+            )
+            .select("v", "pr")
+            .persist()
+        )
+        new_pr.count()
+        pr.unpersist()
+        pr = new_pr
+    ed.unpersist()
+    nodes.unpersist()
+    return pr

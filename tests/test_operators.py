@@ -487,3 +487,19 @@ def test_remove_shared_ngrams(spark):
     assert got[1]["n_tokens_removed"] == 4
     assert got[2]["text_cleaned"] == got[2]["text"]
     assert got[2]["n_tokens_removed"] == 0
+
+
+def test_pagerank_ordering(spark):
+    """Sink-heavy node outranks its feeder; uniform init; dangling mass
+    dropped by contract."""
+    from data2neo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 1, 2], "dst": [2, 3, 3]})
+    )
+    pr = {r["v"]: r["pr"] for r in pagerank(edges, iters=5).collect()}
+    assert set(pr) == {1, 2, 3}
+    # 3 receives from both 1 and 2; 2 only from 1; 1 from nobody
+    assert pr[3] > pr[2] > pr[1]
+    # node 1 has no in-edges → exactly the damping base after iteration 1
+    assert pr[1] == (10**12 * 15) // (100 * 3)
