@@ -785,6 +785,25 @@ def _asof_join_events(spark, sf_dir):
     )
 
 
+def _corpus_key_skew(spark, sf_dir):
+    """Hot-key diagnostic (pre-flight for salting/AQE-skew decisions):
+    top-20 heaviest user_id keys of the events stream with row shares."""
+    from data2neo_spark.operators.corpus import key_skew_report
+
+    return key_skew_report(_read(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
+def _sim_centroids(spark, sf_dir):
+    """Per-label embedding centroids via long-scaled component sums —
+    integer sums are order-independent, so the oracle hash-matches where a
+    float sum would drift."""
+    from data2neo_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(_read(spark, sf_dir, "embeddings")).select(
+        "label", "dim", "n", "centroid_micro"
+    )
+
+
 def _graph_pagerank(spark, sf_dir):
     """Integer-arithmetic PageRank (4 iterations) over the Order→Part
     bipartite graph — the oracle unrolls every iteration as a CTE and
@@ -978,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_events": _asof_forward_events,
         "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
+        "corpus_key_skew": _corpus_key_skew,
+        "sim_centroids": _sim_centroids,
         "graph_pagerank": _graph_pagerank,
         "id_registry": _id_registry,
         "streaming_mentions": _streaming_mentions,
@@ -1493,6 +1514,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
             f"FROM documents) WHERE word IN ({webtext_dict})"
         ),
+        "corpus_key_skew": """
+            WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                              count(*) AS n_rows FROM events GROUP BY 1),
+            t AS (SELECT sum(n_rows) AS tt FROM c)
+            SELECT key, n_rows,
+                   round(n_rows * 1.0 / (SELECT tt FROM t), 6) AS share,
+                   CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC)
+                        AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 20
+        """,
+        "sim_centroids": """
+            WITH comp AS (
+                SELECT label, unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                   CAST(floor(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                            AS BIGINT)) AS DOUBLE)
+                              / count(*)) AS BIGINT) AS centroid_micro
+            FROM comp GROUP BY label, dim
+        """,
         "graph_pagerank": _pagerank_sql(iters=4),
         "id_registry": """
             WITH b1 AS (SELECT DISTINCT c_name AS key FROM customer),

@@ -143,3 +143,31 @@ def corpus_stats(
             F.sum(F.length(F.col(text_col)).cast("long")).alias("sum_chars"),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Hot-key diagnostic for join/aggregation planning: the ``top_k``
+    heaviest keys with their share of all rows — the measurement that
+    decides whether a key needs salting (A7) or an AQE skew join before
+    the job runs at scale. One groupBy shuffle with map-side partials;
+    ties break deterministically by key string.
+
+    Returns (key, n_rows, share, rank)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_t"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("key", "n_rows", "share", "rank")
+    )

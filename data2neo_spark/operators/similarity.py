@@ -254,3 +254,49 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column as (label, dim, centroid):
+    the class-prototype computation behind IVF coarse quantizers and
+    label-conditioned dedup.
+
+    Cross-engine exactness: each component is scaled to a LONG
+    (``CAST(e[d] * scale AS BIGINT)``) before summing — integer sums are
+    order-independent, so the oracle hash-matches where a float sum would
+    drift in the last ulp. One posexplode + one (label, dim) groupBy with
+    map-side partials; the output is tiny (labels × dim)."""
+    comp = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).withColumn(
+        # floor, not a straight cast: Spark's double→long cast truncates
+        # toward zero while DuckDB's rounds to nearest — floor() agrees
+        "_xs", F.floor(F.col("_x").cast("double") * scale).cast("long")
+    )
+    return (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_xs").alias("_s"),
+        )
+        # centroid_micro is the EXACT integer mean in 1/scale units
+        # (floor(sum/n) — quotients here are far from integer boundaries,
+        # so double division + floor is deterministic cross-engine);
+        # `centroid` is the float convenience view derived from it
+        .withColumn(
+            "centroid_micro",
+            F.floor(F.col("_s").cast("double") / F.col("n")).cast("long"),
+        )
+        .withColumn("centroid", F.col("centroid_micro") / F.lit(scale))
+        .select(
+            "label", F.col("dim").cast("long").alias("dim"), "n",
+            "centroid_micro", "centroid",
+        )
+    )

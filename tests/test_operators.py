@@ -503,3 +503,30 @@ def test_pagerank_ordering(spark):
     assert pr[3] > pr[2] > pr[1]
     # node 1 has no in-edges → exactly the damping base after iteration 1
     assert pr[1] == (10**12 * 15) // (100 * 3)
+
+
+def test_key_skew_report(spark):
+    from data2neo_spark.operators.corpus import key_skew_report
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 6 + ["b"] * 3 + ["c"]})
+    )
+    got = [r.asDict() for r in key_skew_report(df, "k", top_k=2).collect()]
+    got.sort(key=lambda r: r["rank"])
+    assert [(r["key"], r["n_rows"], r["share"]) for r in got] == [
+        ("a", 6, 0.6), ("b", 3, 0.3)
+    ]
+
+
+def test_embedding_centroids(spark):
+    from data2neo_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [2.0, 2.0])],
+        "label int, embedding array<float>",
+    )
+    got = {(r["label"], r["dim"]): r.asDict()
+           for r in embedding_centroids(df, dim=2).collect()}
+    assert got[(0, 0)]["centroid"] == 0.5 and got[(0, 0)]["n"] == 2
+    assert got[(0, 1)]["centroid"] == 0.5
+    assert got[(1, 0)]["centroid"] == 2.0 and got[(1, 1)]["centroid"] == 2.0
