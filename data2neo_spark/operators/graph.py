@@ -21,6 +21,7 @@ def pagerank(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    broadcast_nodes_max: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic: ranks are longs
     scaled by ``scale``; every operation is integer +, ×, floor-division
@@ -36,9 +37,13 @@ def pagerank(
 
     Shape per iteration: one join of the (src, dst, deg) edge frame with
     the rank frame + one groupBy(dst) with map-side partial sums + one
-    left join back to the node set — all key-partitioned equi joins; hub
-    skew behaves like any hot-key aggregation (AQE skew-join or salting
-    applies). Ranks persist per round; previous rounds unpersist.
+    left join back to the node set. When the node count is at most
+    ``broadcast_nodes_max`` the rank/contribution frames (16 bytes/node)
+    are BROADCAST, so the big edge frame is never shuffled — the only
+    exchange per round is the partial-agg groupBy(dst). Beyond that the
+    joins shuffle on their keys; hub skew behaves like any hot-key
+    aggregation (AQE skew-join or salting applies). Ranks persist per
+    round; previous rounds unpersist.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -52,15 +57,16 @@ def pagerank(
     ed = e.join(deg, "src").persist()
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long")).persist()
+    bcast = (lambda d: F.broadcast(d)) if n <= broadcast_nodes_max else (lambda d: d)
     for _ in range(iters):
         contrib = (
-            ed.join(pr.withColumnRenamed("v", "src"), "src")
+            ed.join(bcast(pr.withColumnRenamed("v", "src")), "src")
             .withColumn("c", F.expr("pr div deg"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inc"))
         )
         new_pr = (
-            nodes.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            nodes.join(bcast(contrib.withColumnRenamed("dst", "v")), "v", "left")
             .withColumn(
                 "pr",
                 (
