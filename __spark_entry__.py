@@ -105,7 +105,8 @@ ENTITY("lineitem"):
 def _order_part_base(spark: SparkSession, sf_dir: str):
     from data2neo_spark import Converter
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a dead session's id() can be reused
+    key = (spark.sparkContext.applicationId, sf_dir)
     base = _ORDER_PART_STORES.get(key)
     if base is None:
         node_schema = _ORDER_PART_MATCH_SCHEMA.split('ENTITY("lineitem")')[0]

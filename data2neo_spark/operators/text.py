@@ -444,7 +444,11 @@ def remove_shared_ngrams(
 
     bound = df.withColumn("_words", F.split(F.col(text_col), " "))
     words = F.col("_words")
-    wins = bound.select(
+    # docs shorter than n emit no windows (they can't share one) — and the
+    # guard is load-bearing: sequence(0, size-n) with a negative end counts
+    # DOWN in Spark, producing i = -1 and an invalid slice(…, 0) (found by
+    # the hypothesis property suite)
+    wins = bound.where(F.size(words) >= n).select(
         F.col(id_col), F.posexplode(_shingle_expr(words, n)).alias("pos", "sh")
     )
     shared = (
