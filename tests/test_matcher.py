@@ -25,7 +25,7 @@ PROBE = pd.DataFrame({"probe": [0], "id": [1], "id2": [10], "Label": ["TestLabel
                       "missing": pd.array([None], dtype="float64")})
 
 
-def run_match(spark, match_expr, probe=PROBE):
+def run_match(spark, match_expr, probe=PROBE, **conv_kwargs):
     schema = NODE_SCHEMA + f"""
 ENTITY("probe"):
     NODE("Probe") p:
@@ -36,7 +36,7 @@ ENTITY("probe"):
         ("tl", spark.createDataFrame(TL)),
         ("ol", spark.createDataFrame(OL)),
         ("probe", spark.createDataFrame(probe)),
-    ])(spark)
+    ], **conv_kwargs)(spark)
     edges = store.match_relationships("hits")
     return sorted(r["_dst_key"] for r in edges.collect())
 
@@ -159,3 +159,26 @@ def test_partially_suppressed_conditions_match_on_survivors(spark):
     # row 1: id2 null (removed) → match on id=2 → node 2
     # row 2: both gone → match nothing
     assert got == ["1", "2"]
+
+
+def test_partial_suppression_salted_path(spark):
+    """The null-mask branch routing must survive the shuffle+salt MATCH
+    path too (each branch is its own salted equi join; union of branches
+    equals the broadcast-path answer)."""
+    from data2neo_spark import Attribute, register_attribute_postprocessor
+
+    @register_attribute_postprocessor
+    def suppress_neg_r3s(attribute):
+        return None if (attribute.value or 0) < 0 else attribute
+
+    probe = pd.DataFrame({
+        "probe": [0, 1, 2],
+        "id": [-1, 2, -5],
+        "id2": pd.array([10, None, None], dtype="Int64"),
+        "Label": ["TestLabel"] * 3,
+        "missing": pd.array([None] * 3, dtype="float64"),
+    })
+    expr = ('MATCH("TestLabel", id = suppress_neg_r3s(INT(probe.id)), '
+            "id2 = INT(probe.id2))")
+    assert run_match(spark, expr, probe,
+                     broadcast_nodes=False, match_salt_buckets=4) == ["1", "2"]
