@@ -588,6 +588,14 @@ def _text_quality_v2(spark, sf_dir):
     return g.join(top_ngram_share(docs, "doc_id"), "doc_id")
 
 
+def _text_unigram_scores(spark, sf_dir):
+    """Corpus-statistics quality scores (integer-exact ppb probabilities +
+    quantized surprisal bits) — the model-free LM-lite signal."""
+    from data2neo_spark.operators.text import with_unigram_scores
+
+    return with_unigram_scores(_read(spark, sf_dir, "documents"), "doc_id")
+
+
 def _text_dedupe_lines(spark, sf_dir):
     """C4-style within-document repetition removal over the structured
     corpus view — zero-shuffle array rewrite, full deduped text
@@ -986,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _text_pii,
         "text_dedupe_lines": _text_dedupe_lines,
         "text_remove_shared": _text_remove_shared,
+        "text_unigram_scores": _text_unigram_scores,
         "contamination_check": _contamination_check,
         "corpus_clean": _corpus_clean,
         "corpus_stats": _corpus_stats,
@@ -1624,6 +1633,25 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": pii,
         "text_dedupe_lines": dedupe_lines_sql,
         "text_remove_shared": remove_shared_sql,
+        "text_unigram_scores": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), freq AS (
+                SELECT word, count(*) AS c FROM tok GROUP BY word
+            ), tot AS (SELECT sum(c) AS t FROM freq),
+            scored AS (
+                SELECT tok.doc_id,
+                       (f.c * 1000000000) // (SELECT t FROM tot) AS ppb,
+                       CAST(floor(log2((SELECT t FROM tot)))
+                            - floor(log2(f.c)) AS BIGINT) AS bits
+                FROM tok JOIN freq f USING (word)
+            )
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(ppb) // count(*) AS BIGINT) AS avg_word_ppb,
+                   CAST(sum(bits) AS BIGINT) AS sum_surprise_bits
+            FROM scored GROUP BY doc_id
+        """,
         "contamination_check": contamination,
         "text_chunks": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -479,3 +479,52 @@ def remove_shared_ngrams(
         .withColumn("n_tokens_removed", F.size("_cov").cast("long"))
         .drop("_words", "_poss", "_cov")
     )
+
+
+def with_unigram_scores(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics quality scores per document (the CCNet-style
+    "LM-lite" signal without an external model): for each word occurrence,
+    its corpus unigram probability and its surprisal, aggregated per doc:
+
+    * ``avg_word_ppb`` — mean unigram probability in parts-per-billion;
+      high = common-word soup, low = rare-word-dense text;
+    * ``sum_surprise_bits`` — Σ (ilog2(total) − ilog2(count)): total
+      integer-quantized surprisal, the deterministic stand-in for summed
+      −log₂ p(w).
+
+    All arithmetic is integer-exact (counts × 10⁹ floor-divided by the
+    token total; ilog2 = floor(log2(n)), exact for n < 2⁴⁰ in both
+    engines), so the oracle hash-matches — a float ln() pipeline cannot be
+    hash-compared cross-engine (libm last-ulp differences hit floor/round
+    boundaries).
+
+    Shape: one (word) groupBy for the frequency table, one join of the
+    token stream against it (broadcast-eligible — vocabularies are small
+    relative to corpora), one per-doc groupBy. All partial-agg shuffles.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        tok.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_ppb", F.expr("(c * 1000000000L) div t"))
+        .withColumn(
+            "_bits",
+            (F.floor(F.log2("t")) - F.floor(F.log2("c"))).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_ppb").alias("_sppb"),
+            F.sum("_bits").alias("sum_surprise_bits"),
+        )
+        .withColumn("avg_word_ppb", F.expr("_sppb div n_words"))
+        .select(id_col, "n_words", "avg_word_ppb", "sum_surprise_bits")
+    )

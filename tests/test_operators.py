@@ -530,3 +530,18 @@ def test_embedding_centroids(spark):
     assert got[(0, 0)]["centroid"] == 0.5 and got[(0, 0)]["n"] == 2
     assert got[(0, 1)]["centroid"] == 0.5
     assert got[(1, 0)]["centroid"] == 2.0 and got[(1, 1)]["centroid"] == 2.0
+
+
+def test_unigram_scores(spark):
+    """Corpus: 'the'×3, 'rare'×1 over two docs (total 4 tokens).
+    ppb(the)=750M, ppb(rare)=250M; bits: ilog2(4)-ilog2(3)=1,
+    ilog2(4)-ilog2(1)=2."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["the the", "the rare"]})
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in text.with_unigram_scores(df, "doc_id").collect()}
+    assert got[0]["avg_word_ppb"] == 750_000_000
+    assert got[0]["sum_surprise_bits"] == 2          # 1 + 1
+    assert got[1]["avg_word_ppb"] == 500_000_000     # (750M + 250M) / 2
+    assert got[1]["sum_surprise_bits"] == 3          # 1 + 2
