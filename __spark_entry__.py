@@ -917,6 +917,27 @@ def _asof_nearest_events(spark, sf_dir):
     )
 
 
+def _asof_tolerance_events(spark, sf_dir):
+    """As-of join with a 5-minute tolerance (pandas merge_asof parity):
+    a matched click further than the tolerance is discarded, not replaced."""
+    from data2neo_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        errors, clicks, "ts", ["user_id"], value_cols=["click_id"],
+        tolerance=F.expr("INTERVAL 5 MINUTES"),
+    )
+    return out.select(
+        "err_id", "user_id", F.col("click_id_right").alias("prev_click_id")
+    )
+
+
 def _range_join_events(spark, sf_dir):
     """Range join (bucketized equi join + exact filter): clicks within 10
     minutes after each error, counted per error."""
@@ -1005,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_events": _agg_rollup_events,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
+        "asof_tolerance_events": _asof_tolerance_events,
         "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
         "corpus_key_skew": _corpus_key_skew,
@@ -1766,6 +1788,16 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id "
             "                FROM events WHERE event_type = 'click') c "
             "ON e.user_id = c.user_id AND e.ts <= c.ts"
+        ),
+        "asof_tolerance_events": (
+            "SELECT e.err_id, e.user_id, "
+            "CASE WHEN e.ts - c.ts <= INTERVAL 5 MINUTE THEN c.click_id END "
+            "AS prev_click_id "
+            "FROM (SELECT user_id, ts, event_id AS err_id FROM events "
+            "      WHERE event_type = 'error') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id "
+            "                FROM events WHERE event_type = 'click') c "
+            "ON e.user_id = c.user_id AND e.ts >= c.ts"
         ),
         "asof_nearest_events": """
             WITH e AS (SELECT user_id, ts, event_id AS err_id FROM events

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,6 +29,7 @@ def asof_join(
     value_cols: Optional[List[str]] = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row within the same
     `by` key:
@@ -37,6 +38,14 @@ def asof_join(
     * ``forward`` — earliest right row with right.ts >= left.ts;
     * ``nearest`` — whichever of the two is closer in time (exact ties
       prefer the backward candidate).
+
+    ``tolerance`` (pandas merge_asof parity): a maximum admissible |left.ts
+    − right.ts| — a Column expression (e.g. ``F.expr("INTERVAL 5
+    MINUTES")``) for timestamp keys or a number for numeric keys. The
+    matched row is discarded (NULLed) when it lies beyond the tolerance;
+    like pandas, no further-away row is considered instead (the as-of
+    candidate is by definition the closest eligible one). Applied as a
+    zero-cost post-filter on the carried columns.
 
     A right row at exactly left.ts is visible in every direction. Returns
     left columns + value_cols renamed with `suffix` + ``ts<suffix>``;
@@ -116,7 +125,17 @@ def asof_join(
         F.col("_is_left"),
         *sel,
     )
-    return carried.where(F.col("_is_left") == 1).drop("_is_left")
+    out = carried.where(F.col("_is_left") == 1).drop("_is_left")
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        rts = F.col(f"{ts_col}{suffix}")
+        diff = F.when(rts <= F.col(ts_col), F.col(ts_col) - rts).otherwise(
+            rts - F.col(ts_col)
+        )
+        ok = rts.isNotNull() & (diff <= tol)
+        for nm in names:
+            out = out.withColumn(nm, F.when(ok, F.col(nm)))
+    return out
 
 
 def range_join(

@@ -545,3 +545,20 @@ def test_unigram_scores(spark):
     assert got[0]["sum_surprise_bits"] == 2          # 1 + 1
     assert got[1]["avg_word_ppb"] == 500_000_000     # (750M + 250M) / 2
     assert got[1]["sum_surprise_bits"] == 3          # 1 + 2
+
+
+def test_asof_join_tolerance(spark):
+    from data2neo_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "q1"), (1, 300, "q2")], "key long, ts long, q string"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "a"), (1, 100, "b")], "key long, ts long, v string"
+    )
+    got = {
+        r["q"]: (r["v_right"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["key"], tolerance=10).collect()
+    }
+    assert got["q1"] == ("b", 100)       # within tolerance (diff 0)
+    assert got["q2"] == (None, None)     # nearest is 200 away → discarded
