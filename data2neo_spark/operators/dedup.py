@@ -579,6 +579,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair list → (doc_id,
     cluster_id), cluster_id = the smallest doc id in the component. The
@@ -598,7 +599,17 @@ def duplicate_clusters(
     The whole computation is expressible as a recursive min-reachability
     query, which is exactly how the DuckDB oracle replays it (WITH
     RECURSIVE), so even this iterative operator is value-hash verified.
+
+    ``checkpoint_dir`` makes a long run RESUMABLE (north-rule contract,
+    same spirit as the converter's store checkpoints): each round's label
+    table is written to ``<dir>/labels_round_<i>`` and a killed job
+    restarts from the highest complete round instead of round 0 — the
+    propagation is monotone (labels only decrease), so resuming from any
+    completed round is exact, and re-running a completed round is a no-op
+    merge. Disk writes replace the in-memory persist, which also bounds
+    lineage without localCheckpoint.
     """
+    import os as _os
     # symmetrize in ONE pass over the (possibly expensive) pairs plan: a
     # union of two selects would recompute the upstream dedup pipeline per
     # branch — the explode emits both directions from a single scan
@@ -618,15 +629,37 @@ def duplicate_clusters(
     lab = edges.select(F.col("u").alias("v")).distinct().select(
         F.col("v"), F.col("v").alias("lab")
     ).persist()
-    for i in range(max_iter):
+    start_round = 0
+    if checkpoint_dir is not None:
+        spark = pairs.sparkSession
+        done = sorted(
+            int(d.rsplit("_", 1)[1])
+            for d in (_os.listdir(checkpoint_dir)
+                      if _os.path.isdir(checkpoint_dir) else [])
+            if d.startswith("labels_round_")
+            and _os.path.exists(_os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+        if done:
+            start_round = done[-1] + 1
+            lab.unpersist()
+            lab = spark.read.parquet(
+                _os.path.join(checkpoint_dir, f"labels_round_{done[-1]}")
+            )
+    for i in range(start_round, max_iter):
         flowed = edges.join(lab.withColumnRenamed("v", "u"), "u").select(
             F.col("v"), F.col("lab")
         )
         new_lab = (
             lab.unionByName(flowed).groupBy("v").agg(F.min("lab").alias("lab"))
-        ).persist()
-        if i > 0 and i % 5 == 0:
-            new_lab = new_lab.localCheckpoint(eager=False)
+        )
+        if checkpoint_dir is not None:
+            rdir = _os.path.join(checkpoint_dir, f"labels_round_{i}")
+            new_lab.write.mode("overwrite").parquet(rdir)
+            new_lab = pairs.sparkSession.read.parquet(rdir)
+        else:
+            new_lab = new_lab.persist()
+            if i > 0 and i % 5 == 0:
+                new_lab = new_lab.localCheckpoint(eager=False)
         if i == 0:
             # round 0 always changes labels when any edge exists — skip the
             # convergence join+count (one fewer job; the persisted frame

@@ -22,6 +22,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     broadcast_nodes_max: int = 5_000_000,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic: ranks are longs
     scaled by ``scale``; every operation is integer +, ×, floor-division
@@ -44,7 +45,15 @@ def pagerank(
     joins shuffle on their keys; hub skew behaves like any hot-key
     aggregation (AQE skew-join or salting applies). Ranks persist per
     round; previous rounds unpersist.
+
+    ``checkpoint_dir`` makes a long run resumable (north-rule contract):
+    each round's rank table is written to ``<dir>/pr_round_<i>`` and a
+    killed job restarts from the highest complete round — the recurrence
+    is a pure function of the previous round, so resumption is exact.
+    Disk writes replace the in-memory persist per round.
     """
+    import os as _os
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("v"))
@@ -62,8 +71,26 @@ def pagerank(
     # 36 s vs 14 s on the bench graph): broadcast builds don't share work
     # with the probe side, so the barrier per round is load-bearing
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long")).persist()
+    start_round = 0
+    if checkpoint_dir is not None:
+        done = sorted(
+            int(d.rsplit("_", 1)[1])
+            for d in (_os.listdir(checkpoint_dir)
+                      if _os.path.isdir(checkpoint_dir) else [])
+            if d.startswith("pr_round_")
+            and _os.path.exists(_os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+        # only completed rounds BELOW the requested count resume; a prior
+        # run with more iterations does not short-circuit this one
+        done = [r for r in done if r < iters]
+        if done:
+            start_round = done[-1] + 1
+            pr.unpersist()
+            pr = edges.sparkSession.read.parquet(
+                _os.path.join(checkpoint_dir, f"pr_round_{done[-1]}")
+            )
     bcast = (lambda d: F.broadcast(d)) if n <= broadcast_nodes_max else (lambda d: d)
-    for _ in range(iters):
+    for i in range(start_round, iters):
         contrib = (
             ed.join(bcast(pr.withColumnRenamed("v", "src")), "src")
             .withColumn("c", F.expr("pr div deg"))
@@ -82,9 +109,14 @@ def pagerank(
                 ).cast("long"),
             )
             .select("v", "pr")
-            .persist()
         )
-        new_pr.count()
+        if checkpoint_dir is not None:
+            rdir = _os.path.join(checkpoint_dir, f"pr_round_{i}")
+            new_pr.write.mode("overwrite").parquet(rdir)
+            new_pr = edges.sparkSession.read.parquet(rdir)
+        else:
+            new_pr = new_pr.persist()
+            new_pr.count()
         pr.unpersist()
         pr = new_pr
     ed.unpersist()

@@ -562,3 +562,42 @@ def test_asof_join_tolerance(spark):
     }
     assert got["q1"] == ("b", 100)       # within tolerance (diff 0)
     assert got["q2"] == (None, None)     # nearest is 200 away → discarded
+
+
+def test_iterative_checkpoint_resume(spark, tmp_path):
+    """duplicate_clusters and pagerank resume from their round checkpoints:
+    a resumed run (fresh call, same dir) reproduces the uncheckpointed
+    answer and skips completed rounds."""
+    from data2neo_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 8]})
+    )
+    plain = {r["doc_id"]: r["cluster_id"]
+             for r in dedup.duplicate_clusters(pairs).collect()}
+    ck = str(tmp_path / "cc")
+    first = {r["doc_id"]: r["cluster_id"]
+             for r in dedup.duplicate_clusters(pairs, checkpoint_dir=ck).collect()}
+    assert first == plain
+    import os
+    rounds = sorted(d for d in os.listdir(ck) if d.startswith("labels_round_"))
+    assert rounds  # at least one round persisted
+    # resume: same dir, fresh call → same answer
+    resumed = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs, checkpoint_dir=ck).collect()}
+    assert resumed == plain
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 1, 2], "dst": [2, 3, 3]})
+    )
+    want = {r["v"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
+    ckp = str(tmp_path / "pr")
+    got1 = {r["v"]: r["pr"]
+            for r in pagerank(edges, iters=3, checkpoint_dir=ckp).collect()}
+    assert got1 == want
+    # simulate a crash after round 1: drop the last round's marker
+    import shutil
+    shutil.rmtree(os.path.join(ckp, "pr_round_2"))
+    got2 = {r["v"]: r["pr"]
+            for r in pagerank(edges, iters=3, checkpoint_dir=ckp).collect()}
+    assert got2 == want
