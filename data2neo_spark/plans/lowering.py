@@ -538,13 +538,18 @@ def lower_match(
 
     # --- condition path: join against node table -------------------------
     cand = nodes
-    post_label_exprs: List[Column] = []
+    post_label_exprs: List[Tuple[Column, bool]] = []
     for spec in match.labels:
         if spec.is_static and not spec.wrappers:
             cand = cand.filter(F.array_contains(F.col(LABELS), str(spec.static)))
         else:
-            # dynamic label: evaluated on the row side after the join
-            post_label_exprs.append(attr_column(spec, rows, entity_type))
+            # dynamic label: evaluated on the row side after the join;
+            # a wrapper-suppressed label (NULL) is SKIPPED — matching
+            # proceeds on the remaining labels/conditions (reference
+            # matcher.py:77-78: parsed_labels keeps non-None attrs only)
+            post_label_exprs.append(
+                (attr_column(spec, rows, entity_type), bool(spec.wrappers))
+            )
 
     # project candidate nodes: uid/meta + condition properties, renamed to
     # avoid collisions with row columns
@@ -665,10 +670,11 @@ def lower_match(
         else:  # every condition targets a nonexistent property
             joined = _join(rows_b.filter(F.lit(False)), F.lit(False))
 
-    for expr in post_label_exprs:
-        joined = joined.filter(
-            F.array_contains(F.col(f"{side}_all_labels"), expr)
-        )
+    for expr, lbl_suppressible in post_label_exprs:
+        cond = F.array_contains(F.col(f"{side}_all_labels"), expr)
+        if lbl_suppressible:
+            cond = expr.isNull() | cond
+        joined = joined.filter(cond)
     if post_label_exprs:
         joined = joined.drop(f"{side}_all_labels")
     drop_cols = [f"{side}_cond_{i}" for i in range(len(cond_keys))]

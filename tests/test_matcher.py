@@ -182,3 +182,30 @@ def test_partial_suppression_salted_path(spark):
             "id2 = INT(probe.id2))")
     assert run_match(spark, expr, probe,
                      broadcast_nodes=False, match_salt_buckets=4) == ["1", "2"]
+
+
+def test_suppressed_dynamic_label_matches_on_remaining(spark):
+    """Reference matcher.py:77-78 — a wrapper-suppressed LABEL is skipped
+    (match on the remaining labels), unlike all-suppressed conditions."""
+    from data2neo_spark import register_attribute_postprocessor
+
+    @register_attribute_postprocessor
+    def suppress_skip_lbl_r3(attribute):
+        return None if attribute.value == "SKIP" else attribute
+
+    probe = pd.DataFrame({
+        "probe": [0, 1],
+        "id": [1, 1],
+        "id2": pd.array([10, 10], dtype="Int64"),
+        "Label": ["TestLabel"] * 2,
+        "extra": ["A", "SKIP"],
+        "missing": pd.array([None] * 2, dtype="float64"),
+    })
+    got = run_match(
+        spark,
+        'MATCH("TestLabel", suppress_skip_lbl_r3(probe.extra))',
+        probe,
+    )
+    # row 0: TestLabel ∧ A → node 1; row 1: label suppressed → all
+    # TestLabel nodes (1 and 2)
+    assert got == ["1", "1", "2"]
