@@ -580,6 +580,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: Optional[str] = None,
+    jump: bool = True,
 ) -> DataFrame:
     """Connected components over a duplicate-pair list → (doc_id,
     cluster_id), cluster_id = the smallest doc id in the component. The
@@ -589,12 +590,14 @@ def duplicate_clusters(
     Algorithm: iterative min-label propagation (hash-to-min). Each round is
     one equi join + one groupBy (both with partial aggregation), followed by
     a single count action for the convergence check; rounds needed = graph
-    diameter. Duplicate graphs are unions of near-cliques (every verified
-    pair is emitted, not a spanning tree), so the diameter is small — for
-    adversarial chain-shaped graphs switch to alternating large-star/
-    small-star (Kiveris et al. 2014), which is the same join shape run
-    O(log²) rounds. Labels are persisted per round and the lineage is cut
-    with localCheckpoint every 5 rounds so the plan can't grow unboundedly.
+    diameter. With ``jump=True`` (default) each round also POINTER-JUMPS
+    (lab ← lab[lab], one self-join): labels are monotone non-increasing
+    and stay inside their component, so the fixpoint is unchanged, but
+    convergence drops to O(log diameter) rounds — adversarial chain-shaped
+    graphs no longer degenerate (the alternating large-star/small-star of
+    Kiveris et al. 2014 gives the same bound with a more intricate edge
+    rewrite). Labels are persisted per round and the lineage is cut with
+    localCheckpoint every 5 rounds so the plan can't grow unboundedly.
 
     The whole computation is expressible as a recursive min-reachability
     query, which is exactly how the DuckDB oracle replays it (WITH
@@ -652,6 +655,17 @@ def duplicate_clusters(
         new_lab = (
             lab.unionByName(flowed).groupBy("v").agg(F.min("lab").alias("lab"))
         )
+        if jump:
+            # pointer jump: lab ← lab[lab]. Every label is itself a node id
+            # with an entry, lab(x) ≤ x, so the jumped label can only
+            # decrease and never leaves the component
+            targets = new_lab.select(
+                F.col("v").alias("lab"), F.col("lab").alias("_lab2")
+            )
+            new_lab = new_lab.join(targets, "lab", "left").select(
+                F.col("v"),
+                F.coalesce(F.col("_lab2"), F.col("lab")).alias("lab"),
+            )
         if checkpoint_dir is not None:
             rdir = _os.path.join(checkpoint_dir, f"labels_round_{i}")
             new_lab.write.mode("overwrite").parquet(rdir)

@@ -601,3 +601,19 @@ def test_iterative_checkpoint_resume(spark, tmp_path):
     got2 = {r["v"]: r["pr"]
             for r in pagerank(edges, iters=3, checkpoint_dir=ckp).collect()}
     assert got2 == want
+
+
+def test_duplicate_clusters_chain_fast_convergence(spark):
+    """Adversarial chain 1-2-...-12: pointer jumping converges in O(log d)
+    rounds — max_iter=6 suffices where plain propagation would need ~11."""
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))})
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs, max_iter=6).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # and with jumping disabled the same budget is NOT enough
+    slow = {r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs, max_iter=6, jump=False).collect()}
+    assert slow != got
