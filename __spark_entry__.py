@@ -794,6 +794,14 @@ def _asof_join_events(spark, sf_dir):
     )
 
 
+def _corpus_quantiles(spark, sf_dir):
+    """Per-language token-length p10/p50/p90 (exact interpolated
+    quantiles, cross-engine identical interpolation)."""
+    from data2neo_spark.operators.corpus import corpus_length_quantiles
+
+    return corpus_length_quantiles(_read(spark, sf_dir, "documents"))
+
+
 def _corpus_key_skew(spark, sf_dir):
     """Hot-key diagnostic (pre-flight for salting/AQE-skew decisions):
     top-20 heaviest user_id keys of the events stream with row shares."""
@@ -1029,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance_events": _asof_tolerance_events,
         "asof_nearest_events": _asof_nearest_events,
         "range_join_events": _range_join_events,
+        "corpus_quantiles": _corpus_quantiles,
         "corpus_key_skew": _corpus_key_skew,
         "sim_centroids": _sim_centroids,
         "graph_pagerank": _graph_pagerank,
@@ -1546,6 +1555,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
             f"FROM documents) WHERE word IN ({webtext_dict})"
         ),
+        "corpus_quantiles": """
+            WITH d AS (SELECT lang,
+                              len(string_split(text, ' ')) AS nw
+                       FROM documents),
+            q AS (SELECT lang,
+                         quantile_cont(nw, [0.1, 0.5, 0.9]) AS qs
+                  FROM d GROUP BY lang)
+            SELECT lang, p, round(q, 4) AS n_tokens_q
+            FROM (SELECT lang,
+                         unnest([0.1, 0.5, 0.9]) AS p,
+                         unnest(qs) AS q
+                  FROM q)
+        """,
         "corpus_key_skew": """
             WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
                               count(*) AS n_rows FROM events GROUP BY 1),

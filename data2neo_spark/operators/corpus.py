@@ -171,3 +171,38 @@ def key_skew_report(
         .where(F.col("rank") <= top_k)
         .select("key", "n_rows", "share", "rank")
     )
+
+
+def corpus_length_quantiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    probabilities: Tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Per-language token-length distribution: one row per (lang, p) with
+    the exact linearly-interpolated quantile — the corpus-shape report
+    behind chunk-size and filter-threshold choices.
+
+    One groupBy(lang); Spark's percentile() and DuckDB's quantile_cont()
+    both use linear interpolation on the sorted values, so the oracle
+    value-hash-matches (the same cross-engine identity corpus_stats'
+    exact median relies on). The per-group sort is bounded by language
+    count, like corpus_stats."""
+    nw = F.size(F.split(F.col(text_col), " ")).cast("long")
+    probs = list(probabilities)
+    agg = (
+        docs.withColumn("_nw", nw)
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.percentile("_nw", probs).alias("_qs"))
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in probs]).alias("p"),
+        F.col("_qs").alias("q"),
+    )
+    return agg.select(
+        "lang", F.explode(pairs).alias("_pq")
+    ).select(
+        "lang",
+        F.col("_pq.p").alias("p"),
+        F.round(F.col("_pq.q"), 4).alias("n_tokens_q"),
+    )

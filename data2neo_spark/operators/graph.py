@@ -62,6 +62,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("pr", F.lit(0).cast("long"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").persist()
     base = (scale * (damping_den - damping_num)) // (damping_den * n)

@@ -617,3 +617,33 @@ def test_duplicate_clusters_chain_fast_convergence(spark):
     slow = {r["doc_id"]: r["cluster_id"]
             for r in dedup.duplicate_clusters(pairs, max_iter=6, jump=False).collect()}
     assert slow != got
+
+
+def test_corpus_length_quantiles(spark):
+    from data2neo_spark.operators.corpus import corpus_length_quantiles
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "lang": ["en"] * 5,
+        "text": ["a", "a b", "a b c", "a b c d", "a b c d e"],
+    }))
+    got = {r["p"]: r["n_tokens_q"]
+           for r in corpus_length_quantiles(df).collect()}
+    assert got[0.5] == 3.0                 # median of 1..5
+    assert got[0.1] == 1.4 and got[0.9] == 4.6   # linear interpolation
+
+
+def test_empty_input_operators(spark):
+    """Empty-corpus hardening: every set-producing operator returns an
+    empty frame (not an error) on zero rows."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    from data2neo_spark.operators.graph import pagerank
+
+    assert dedup.duplicate_clusters(empty_pairs).count() == 0
+    assert dedup.exact_duplicates(empty_docs, "doc_id").count() == 0
+    assert dedup.contamination_check(empty_docs, empty_docs, "doc_id").count() == 0
+    assert text.top_ngram_share(empty_docs, "doc_id").count() == 0
+    assert text.remove_shared_ngrams(empty_docs, "doc_id").count() == 0
+    assert text.with_unigram_scores(empty_docs, "doc_id").count() == 0
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges).count() == 0
