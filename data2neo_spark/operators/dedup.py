@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .text import word_shingles
@@ -136,6 +136,29 @@ def contamination_check(
     )
 
 
+def _should_broadcast(df: DataFrame, limit_bytes: Optional[int] = None) -> bool:
+    """True when the optimizer's size estimate says ``df`` fits under the
+    session's autoBroadcastJoinThreshold (or an explicit limit). Unknown
+    estimate → False: at scale the safe default is to let AQE decide, not
+    to force a driver-side build of an unbounded frame."""
+    from ..core.converter import Converter
+
+    est = Converter._estimated_bytes(df)
+    if est is None:
+        return False
+    if limit_bytes is None:
+        try:
+            raw = df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+            limit_bytes = int(raw.lower().removesuffix("b").removesuffix("m")
+                              ) * (1 << 20) if raw.lower().endswith(("m", "mb")) \
+                else int(raw)
+        except Exception:
+            limit_bytes = 10 << 20
+    return 0 < est <= limit_bytes
+
+
 def _verified_jaccard(
     df: DataFrame,
     cand: DataFrame,
@@ -158,12 +181,18 @@ def _verified_jaccard(
     # broadcast ONLY the bare pair list (small by construction — capped/
     # bucketed candidate stage), never the intermediate that already
     # carries _sa shingle arrays: that build side grows with array size
-    # and can blow the broadcast limit at scale. The second join's arrays
-    # side shuffles (or AQE promotes it when actually small).
+    # and can blow the broadcast limit at scale. The hint is CONDITIONAL
+    # on the optimizer's size estimate: at low thresholds the candidate
+    # list is O(corpus) and an unconditional hint would override Spark's
+    # size logic and OOM the driver — above the gate we leave strategy to
+    # AQE. The second join's arrays side shuffles (or AQE promotes it when
+    # actually small).
+    if _should_broadcast(pairs):
+        pairs = pairs.hint("broadcast")
     joined = (
         arrays.select(F.col(id_col).alias("id_a"),
                       F.col("sh_arr").alias("_sa"))
-        .join(pairs.hint("broadcast"), "id_a")
+        .join(pairs, "id_a")
         .join(arrays.select(F.col(id_col).alias("id_b"),
                             F.col("sh_arr").alias("_sb")), "id_b")
     )
@@ -325,6 +354,33 @@ def _pairs_expr(ids_col: str) -> Column:
     )
 
 
+def _star_pairs_expr(ids_col: str) -> Column:
+    """Star pairs from a sorted id-array: every member paired to the bucket
+    MIN id — O(k) structs instead of O(k²). Sufficient for transitive-
+    cluster semantics: the star keeps the bucket connected, so
+    :func:`duplicate_clusters` recovers exactly the same components as the
+    all-pairs emission; only the non-star pairwise edges are dropped."""
+    ids = F.col(ids_col)
+    return F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda b: F.struct(F.get(ids, 0).alias("id_a"), b.alias("id_b")),
+    )
+
+
+def _capped_pairs(ids_col: str, max_bucket_size: Optional[int]) -> Column:
+    """Pair-emission expression with the degenerate-bucket guard: all pairs
+    up to ``max_bucket_size`` members, star pairs above it. A boilerplate
+    bucket of 10⁵ identical docs (routine at Common-Crawl scale) emits 10⁵
+    structs in one row instead of 5·10⁹ — row width is linear in bucket
+    size, never quadratic. ``None`` disables the cap (exact pairwise
+    recall; only safe on exact-deduped or small inputs)."""
+    if max_bucket_size is None:
+        return _pairs_expr(ids_col)
+    return F.when(
+        F.size(ids_col) <= max_bucket_size, _pairs_expr(ids_col)
+    ).otherwise(_star_pairs_expr(ids_col))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -332,6 +388,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: Optional[int] = 1000,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket → candidate pairs
     (id_a, id_b, n_shared_bands).
@@ -342,7 +400,15 @@ def minhash_lsh_candidates(
     whole 64-transform signature into the per-band lambda, re-evaluating it
     per band; measured 5×). Candidates come from ONE groupBy(band, bucket)
     with array-side pair emission — no self-join, so the signature pipeline
-    runs once, not once per join side."""
+    runs once, not once per join side.
+
+    ``max_bucket_size`` is the degenerate-bucket guard (see
+    :func:`_capped_pairs`): buckets above it emit star pairs to the bucket
+    min id — component-equivalent under :func:`duplicate_clusters`, O(k)
+    row width instead of O(k²). No-silent-caps: pass an ``observation`` to
+    get ``clipped_buckets`` / ``max_bucket`` metrics with the job (the cap
+    itself never changes cluster membership, only which pairwise edges are
+    listed)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
@@ -376,8 +442,15 @@ def minhash_lsh_candidates(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
         .where(F.size("_ids") >= 2)
     )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+        grp = grp.observe(
+            observation,
+            F.sum((F.size("_ids") > cap).cast("long")).alias("clipped_buckets"),
+            F.max(F.size("_ids")).alias("max_bucket"),
+        )
     return (
-        grp.select(F.explode(_pairs_expr("_ids")).alias("_p"))
+        grp.select(F.explode(_capped_pairs("_ids", max_bucket_size)).alias("_p"))
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
@@ -392,9 +465,11 @@ def minhash_lsh_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Candidates from LSH, verified with exact Jaccard ≥ threshold."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
+                                  shingle_n, max_bucket_size)
     return _verified_jaccard(df, cand.select("id_a", "id_b"), id_col,
                              text_col, shingle_n, threshold)
 
@@ -448,6 +523,8 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = 60,
+    max_bucket_size: Optional[int] = 1000,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -456,7 +533,17 @@ def simhash_near_duplicates(
     is exact while candidates join per chunk bucket instead of all-pairs.
     (The old fixed 4×16-bit blocking silently lost recall for
     max_hamming > 3.) Wider max_hamming ⇒ narrower chunks ⇒ hotter buckets:
-    at extreme corpus sizes raise ``bits`` rather than max_hamming."""
+    at extreme corpus sizes raise ``bits`` rather than max_hamming.
+
+    ``max_bucket_size``: degenerate-bucket guard — a bucket above the cap
+    emits star pairs to its min id (O(k) structs per row instead of O(k²)),
+    so a 10⁵-doc boilerplate cluster cannot OOM a task. Star pairs keep the
+    bucket connected, so :func:`duplicate_clusters` over the output yields
+    identical components; only the non-star pairwise hamming rows (and
+    star pairs whose true hamming exceeds ``max_hamming`` — members of a
+    clipped bucket may be further apart than the star center) are affected.
+    Pass ``observation`` to surface ``clipped_buckets`` / ``max_bucket``
+    with the job (no-silent-caps)."""
     n_chunks = max_hamming + 1
     sh = simhash(df, id_col, text_col, bits)
     chunks = sh.select(
@@ -472,9 +559,8 @@ def simhash_near_duplicates(
         ).alias("chunk_idx", "chunk"),
     )
     # grouped-pairs per chunk bucket (one shuffle; the old a⋈b self-join
-    # recomputed the whole zero-shuffle signature per join side). A
-    # degenerate bucket of k near-identical docs emits k²/2 structs in one
-    # row — run exact dedup first in pipelines, as clean_corpus does.
+    # recomputed the whole zero-shuffle signature per join side); buckets
+    # above max_bucket_size fall back to star pairs (linear row width).
     grp = (
         chunks.groupBy("chunk_idx", "chunk")
         .agg(
@@ -486,7 +572,14 @@ def simhash_near_duplicates(
         )
         .where(F.size("_m") >= 2)
     )
-    pair_structs = F.flatten(
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+        grp = grp.observe(
+            observation,
+            F.sum((F.size("_m") > cap).cast("long")).alias("clipped_buckets"),
+            F.max(F.size("_m")).alias("max_bucket"),
+        )
+    all_pair_structs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.size("_m") - 2),
             lambda i: F.transform(
@@ -500,6 +593,21 @@ def simhash_near_duplicates(
             ),
         )
     )
+    star_pair_structs = F.transform(
+        F.slice(F.col("_m"), 2, F.size("_m")),
+        lambda b: F.struct(
+            F.get(F.col("_m"), 0).getField("i").alias("id_a"),
+            b.getField("i").alias("id_b"),
+            F.get(F.col("_m"), 0).getField("s").alias("sa"),
+            b.getField("s").alias("sb"),
+        ),
+    )
+    if max_bucket_size is None:
+        pair_structs = all_pair_structs
+    else:
+        pair_structs = F.when(
+            F.size("_m") <= max_bucket_size, all_pair_structs
+        ).otherwise(star_pair_structs)
     pairs = (
         grp.select(F.explode(pair_structs).alias("_p"))
         .select("_p.id_a", "_p.id_b", "_p.sa", "_p.sb")

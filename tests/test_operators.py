@@ -647,3 +647,81 @@ def test_empty_input_operators(spark):
     assert text.with_unigram_scores(empty_docs, "doc_id").count() == 0
     empty_edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty_edges).count() == 0
+
+
+def test_lsh_bucket_cap_star_pairs(spark):
+    """Degenerate bucket guard: 5000 identical docs share every band
+    bucket; with a cap, each bucket emits star pairs (O(k) structs per
+    row, never k²/2) and the run completes with bounded row width while
+    the observation surfaces the clipping (no-silent-caps)."""
+    from pyspark.sql import Observation
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+    obs = Observation("lsh_cap")
+    cand = dedup.minhash_lsh_candidates(
+        df, "doc_id", num_hashes=16, bands=4,
+        max_bucket_size=100, observation=obs,
+    )
+    rows = cand.collect()
+    # star pairing: every member pairs to the bucket min (doc 0) only
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)
+    assert all(r["n_shared_bands"] == 4 for r in rows)
+    m = obs.get
+    assert m["clipped_buckets"] == 4 and m["max_bucket"] == n
+
+
+def test_simhash_bucket_cap_star_pairs(spark):
+    from pyspark.sql import Observation
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate page body text here").alias("text"),
+    )
+    obs = Observation("simhash_cap")
+    pairs = dedup.simhash_near_duplicates(
+        df, "doc_id", max_hamming=3, max_bucket_size=50, observation=obs,
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+    m = obs.get
+    assert m["clipped_buckets"] == 4 and m["max_bucket"] == n
+
+
+def test_bucket_cap_components_unchanged(spark, docs):
+    """Star pairs are component-equivalent: clustering capped candidates
+    yields the same duplicate clusters as clustering uncapped ones."""
+    uncapped = dedup.minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=32, bands=16, max_bucket_size=None
+    )
+    capped = dedup.minhash_lsh_candidates(
+        docs, "doc_id", num_hashes=32, bands=16, max_bucket_size=2
+    )
+    c_un = {(r["doc_id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(uncapped).collect()}
+    c_cap = {(r["doc_id"], r["cluster_id"])
+             for r in dedup.duplicate_clusters(capped).collect()}
+    assert c_un == c_cap
+
+
+def test_verified_jaccard_broadcast_is_conditional(spark, docs):
+    """The pair-list broadcast hint must follow the size estimate: with the
+    session threshold forced to 1 byte nothing qualifies, so the plan may
+    not contain a broadcast exchange for the pair join."""
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", num_hashes=16, bands=8)
+    assert dedup._should_broadcast(spark.range(3)) in (True, False)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        assert not dedup._should_broadcast(cand)
+        dup = dedup.minhash_lsh_duplicates(docs, "doc_id", threshold=0.5,
+                                           num_hashes=16, bands=8)
+        plan = dup._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
