@@ -31,6 +31,10 @@ from ..core.graph_elements import Attribute, coerce_value
 from ..core.types import python_str_column, spark_type_of_literal
 from .rules import AttrSpec, MatchSpec, NodeRule, RelRule, WrapperApplication
 
+# max wrapped-MATCH conditions lowered via exact 2^k−1 subset routing;
+# above this the first-unsuppressed-condition routing (k branches) is used
+SUPPRESSION_BRANCH_CAP = 6
+
 # canonical node columns
 UID = "_uid"
 LABELS = "_labels"
@@ -129,6 +133,35 @@ def attr_column(
     entity_type: str,
 ) -> Column:
     """Lower an AttrSpec (with wrapper chain) to a Column over df."""
+    col, _sup = _attr_column_pair(spec, df, entity_type, want_flag=False)
+    return col
+
+
+def attr_column_flagged(
+    spec: AttrSpec,
+    df: DataFrame,
+    entity_type: str,
+) -> Tuple[Column, Column]:
+    """Lower an AttrSpec to (value, suppressed) Columns.
+
+    ``suppressed`` is True exactly when a python wrapper in the chain
+    returned None for the row (reference AttributeFactory.construct →
+    None, matcher.py:72 drops such conditions), NOT when the attribute's
+    VALUE is null — the reference keeps a None-valued condition in
+    parsed_conditions, so the row matches nothing. The two cases are
+    columnar-indistinguishable from the value alone; MATCH lowering uses
+    this flag to route only genuinely-suppressed conditions to the
+    removal branches. Matching construct(), wrappers DO run on null
+    values here (the plain attr_column path short-circuits nulls)."""
+    return _attr_column_pair(spec, df, entity_type, want_flag=True)
+
+
+def _attr_column_pair(
+    spec: AttrSpec,
+    df: DataFrame,
+    entity_type: str,
+    want_flag: bool,
+) -> Tuple[Column, Optional[Column]]:
     schema_fields = {f.name: f.dataType for f in df.schema.fields}
 
     # split wrappers: outermost-first in spec.wrappers.
@@ -167,6 +200,7 @@ def attr_column(
         base = F.lit(None)
         base_dtype = T.NullType()
 
+    sup_col: Optional[Column] = None
     if pre_fns:
         # preprocessors need the whole row: Arrow-batched python over a
         # struct of all source columns (reference factory_wrappers.py:105-142)
@@ -177,27 +211,57 @@ def attr_column(
         out_dtype = base_dtype
         gstate = _snapshot_gstate()
 
-        @F.pandas_udf(out_dtype.simpleString())
-        def _pre_udf(batch: pd.DataFrame) -> pd.Series:
-            _install_gstate(gstate)
-            out = []
-            for row in batch.itertuples(index=False):
-                resource = dict(zip(col_names, row))
-                dropped = False
-                for fn, sargs in pre_fns:
-                    resource = fn(resource, *sargs)
-                    if resource is None:
-                        dropped = True
-                        break
-                if dropped:
-                    out.append(None)
-                elif static is not None:
-                    out.append(static)
-                else:
-                    out.append(resource.get(column))
-            return pd.Series(out)
+        if want_flag:
+            _pre_struct = T.StructType([
+                T.StructField("v", out_dtype), T.StructField("sup", T.BooleanType())
+            ])
 
-        base = _pre_udf(F.struct(*[F.col(c) for c in col_names]))
+            @F.pandas_udf(_pre_struct)
+            def _pre_udf_f(batch: pd.DataFrame) -> pd.DataFrame:
+                _install_gstate(gstate)
+                vals, sups = [], []
+                for row in batch.itertuples(index=False):
+                    resource = dict(zip(col_names, row))
+                    dropped = False
+                    for fn, sargs in pre_fns:
+                        resource = fn(resource, *sargs)
+                        if resource is None:
+                            dropped = True
+                            break
+                    if dropped:
+                        vals.append(None)
+                    elif static is not None:
+                        vals.append(static)
+                    else:
+                        vals.append(resource.get(column))
+                    sups.append(dropped)
+                return pd.DataFrame({"v": vals, "sup": sups})
+
+            _s = _pre_udf_f(F.struct(*[F.col(c) for c in col_names]))
+            base = _s.getField("v")
+            sup_col = _s.getField("sup")
+        else:
+            @F.pandas_udf(out_dtype.simpleString())
+            def _pre_udf(batch: pd.DataFrame) -> pd.Series:
+                _install_gstate(gstate)
+                out = []
+                for row in batch.itertuples(index=False):
+                    resource = dict(zip(col_names, row))
+                    dropped = False
+                    for fn, sargs in pre_fns:
+                        resource = fn(resource, *sargs)
+                        if resource is None:
+                            dropped = True
+                            break
+                    if dropped:
+                        out.append(None)
+                    elif static is not None:
+                        out.append(static)
+                    else:
+                        out.append(resource.get(column))
+                return pd.Series(out)
+
+            base = _pre_udf(F.struct(*[F.col(c) for c in col_names]))
         base_dtype = out_dtype
 
     col = base
@@ -247,28 +311,75 @@ def attr_column(
             key = spec.key
             out_dtype = _infer_post_chain_type(run, key, dtype)
 
-            def _make_post(run=tuple(run), key=key, gstate=_snapshot_gstate()):
-                @F.pandas_udf(out_dtype.simpleString())
-                def _post_udf(s: pd.Series) -> pd.Series:
-                    _install_gstate(gstate)
-                    out = []
-                    for v in s:
-                        if v is None or (isinstance(v, float) and pd.isna(v)):
-                            out.append(None)
-                            continue
-                        attr = Attribute(key or "k", v)
-                        for fn, sargs in run:
-                            attr = fn(attr, *sargs)
-                            if attr is None:
-                                break
-                        out.append(coerce_value(attr.value) if attr is not None else None)
-                    return pd.Series(out, dtype=object)
-                return _post_udf
+            if want_flag:
+                _post_struct = T.StructType([
+                    T.StructField("v", out_dtype),
+                    T.StructField("sup", T.BooleanType()),
+                ])
 
-            col = _make_post()(col)
+                def _make_post_f(run=tuple(run), key=key,
+                                 gstate=_snapshot_gstate()):
+                    @F.pandas_udf(_post_struct)
+                    def _post_udf_f(s: pd.Series, sup_in: pd.Series) -> pd.DataFrame:
+                        _install_gstate(gstate)
+                        vals, sups = [], []
+                        for v, si in zip(s, sup_in):
+                            if si:
+                                vals.append(None)
+                                sups.append(True)
+                                continue
+                            if isinstance(v, float) and pd.isna(v):
+                                v = None
+                            # construct() runs the chain on None values too
+                            attr = Attribute(key or "k", v)
+                            for fn, sargs in run:
+                                attr = fn(attr, *sargs)
+                                if attr is None:
+                                    break
+                            vals.append(
+                                coerce_value(attr.value) if attr is not None else None
+                            )
+                            sups.append(attr is None)
+                        return pd.DataFrame({"v": vals, "sup": sups})
+                    return _post_udf_f
+
+                _s = _make_post_f()(
+                    col, sup_col if sup_col is not None else F.lit(False)
+                )
+                col = _s.getField("v")
+                sup_col = _s.getField("sup")
+            else:
+                def _make_post(run=tuple(run), key=key, gstate=_snapshot_gstate()):
+                    @F.pandas_udf(out_dtype.simpleString())
+                    def _post_udf(s: pd.Series) -> pd.Series:
+                        _install_gstate(gstate)
+                        out = []
+                        for v in s:
+                            if v is None or (isinstance(v, float) and pd.isna(v)):
+                                out.append(None)
+                                continue
+                            attr = Attribute(key or "k", v)
+                            for fn, sargs in run:
+                                attr = fn(attr, *sargs)
+                                if attr is None:
+                                    break
+                            out.append(coerce_value(attr.value) if attr is not None else None)
+                        return pd.Series(out, dtype=object)
+                    return _post_udf
+
+                col = _make_post()(col)
             dtype = out_dtype
 
-    return col
+    if not want_flag:
+        return col, None
+    if sup_col is None:
+        sup_col = F.lit(False)
+    else:
+        # a later native/vectorized step may map null→non-null (e.g. a
+        # default-value compiler): a suppressed row's value must stay null
+        col = F.when(sup_col, F.lit(None).cast(dtype)).otherwise(col)
+        sup_col = F.coalesce(sup_col, F.lit(False))
+    return col, sup_col
 
 
 def _label_columns(rule_labels: List[AttrSpec], df: DataFrame, entity_type: str) -> List[Column]:
@@ -575,10 +686,21 @@ def lower_match(
 
     # bind each condition's row value to a REAL column (type-harmonized
     # against the node column), so the suppression-mask branches below can
-    # reference one evaluation instead of recomputing wrapper UDF chains
+    # reference one evaluation instead of recomputing wrapper UDF chains.
+    # Wrapped conditions also bind an explicit suppression FLAG: a wrapper
+    # returning None (suppression, condition removed per matcher.py:72) is
+    # distinct from a genuinely-NULL condition value (condition kept — the
+    # reference keeps None-valued attrs in parsed_conditions and the row
+    # then matches nothing).
+    suppressible = len(cond_keys) > 1 and any(
+        spec.wrappers for spec, _k in cond_keys
+    )
     rows_b = rows
     for i, (spec, k) in enumerate(cond_keys):
-        row_val = attr_column(spec, rows, entity_type)
+        if suppressible and spec.wrappers:
+            row_val, sup = attr_column_flagged(spec, rows, entity_type)
+        else:
+            row_val, sup = attr_column(spec, rows, entity_type), F.lit(False)
         if k is not None:
             node_col = F.col(f"{side}_cond_{i}")
             node_dt = dtype_of(cand, node_col)
@@ -590,6 +712,8 @@ def lower_match(
                     f"{side}_cond_{i}", python_str_column(node_col, node_dt)
                 )
         rows_b = rows_b.withColumn(f"{side}_rv_{i}", row_val)
+        if suppressible:
+            rows_b = rows_b.withColumn(f"{side}_sup_{i}", sup)
 
     def _join(rside: DataFrame, jcond) -> DataFrame:
         if broadcast_nodes:
@@ -620,18 +744,16 @@ def lower_match(
         return F.col(f"{side}_cond_{i}") == F.col(f"{side}_rv_{i}")
 
     # Partial wrapper suppression (reference matcher.py:71-76): a condition
-    # whose attribute a wrapper suppressed (NULL row value) is REMOVED from
-    # that row's condition set; only when EVERY condition is suppressed does
-    # the row match nothing. With >1 condition and wrappers in play, rows
-    # are routed by their null-mask to one equi join per observed condition
-    # subset (2^k−1 branches, k small by construction) — each branch stays
-    # a hashable equi join, so the broadcast/salted plan shape survives.
-    # Documented conflation (columnar representation): a condition value
-    # that is genuinely NULL (not suppressed) is also treated as removed;
-    # the reference would keep it and match nothing for that row.
-    suppressible = len(cond_keys) > 1 and any(
-        spec.wrappers for spec, _k in cond_keys
-    )
+    # whose attribute a wrapper suppressed (explicit flag from
+    # attr_column_flagged) is REMOVED from that row's condition set; only
+    # when EVERY condition is suppressed does the row match nothing. With
+    # >1 condition and wrappers in play, rows are routed by their
+    # suppression-mask to one equi join per observed condition subset
+    # (2^k−1 branches, k small by construction) — each branch stays a
+    # hashable equi join, so the broadcast/salted plan shape survives. A
+    # condition whose value is genuinely NULL (not suppressed) is KEPT:
+    # its equi-join predicate is null → the row matches nothing, exactly
+    # the reference's None-valued parsed_conditions behavior.
     if not suppressible:
         join_cond = None
         for i, (spec, k) in enumerate(cond_keys):
@@ -645,24 +767,57 @@ def lower_match(
 
         idxs = list(range(len(cond_keys)))
         parts: List[DataFrame] = []
-        for r in range(1, len(idxs) + 1):
-            for subset in combinations(idxs, r):
-                if any(cond_keys[i][1] is None for i in subset):
-                    # unsuppressed condition on a property no node has —
-                    # those rows match nothing (skip the branch)
+        if len(idxs) <= SUPPRESSION_BRANCH_CAP:
+            # exact subset routing: one fully-equi join per observed
+            # condition subset (2^k−1 branches) — every present condition
+            # participates in the join key, maximal selectivity
+            for r in range(1, len(idxs) + 1):
+                for subset in combinations(idxs, r):
+                    if any(cond_keys[i][1] is None for i in subset):
+                        # unsuppressed condition on a property no node has —
+                        # those rows match nothing (skip the branch)
+                        continue
+                    mask = None
+                    for i in idxs:
+                        p = (
+                            ~F.col(f"{side}_sup_{i}")
+                            if i in subset
+                            else F.col(f"{side}_sup_{i}")
+                        )
+                        mask = p if mask is None else (mask & p)
+                    jcond = None
+                    for i in subset:
+                        jcond = _eq(i) if jcond is None else (jcond & _eq(i))
+                    parts.append(_join(rows_b.filter(mask), jcond))
+        else:
+            # branch-cap fallback (k conditions > cap ⇒ 2^k−1 would explode
+            # the plan): route each row by its FIRST unsuppressed condition
+            # — k branches, each STILL a hashable equi join on that one
+            # condition, with the remaining conditions enforced by a
+            # post-join filter (sup_j OR eq_j). Exact same semantics as
+            # subset routing; all-suppressed rows fall in no branch.
+            for i in idxs:
+                mask = ~F.col(f"{side}_sup_{i}")
+                for j in range(i):
+                    mask = F.col(f"{side}_sup_{j}") & mask
+                if cond_keys[i][1] is None:
+                    # first live condition targets a property no node has —
+                    # those rows match nothing
                     continue
-                mask = None
-                for i in idxs:
-                    p = (
-                        F.col(f"{side}_rv_{i}").isNotNull()
-                        if i in subset
-                        else F.col(f"{side}_rv_{i}").isNull()
+                post = None
+                for j in idxs:
+                    if j == i:
+                        continue
+                    pj = (
+                        F.col(f"{side}_sup_{j}")
+                        if cond_keys[j][1] is None
+                        else (F.col(f"{side}_sup_{j}") | _eq(j))
                     )
-                    mask = p if mask is None else (mask & p)
-                jcond = None
-                for i in subset:
-                    jcond = _eq(i) if jcond is None else (jcond & _eq(i))
-                parts.append(_join(rows_b.filter(mask), jcond))
+                    post = pj if post is None else (post & pj)
+                b = _join(rows_b.filter(mask), _eq(i))
+                if post is not None:
+                    b = b.filter(post)
+                parts.append(b)
         if parts:
             joined = parts[0]
             for p in parts[1:]:
@@ -679,6 +834,8 @@ def lower_match(
         joined = joined.drop(f"{side}_all_labels")
     drop_cols = [f"{side}_cond_{i}" for i in range(len(cond_keys))]
     drop_cols += [f"{side}_rv_{i}" for i in range(len(cond_keys))]
+    if suppressible:
+        drop_cols += [f"{side}_sup_{i}" for i in range(len(cond_keys))]
     return joined.drop(*drop_cols)
 
 

@@ -156,9 +156,10 @@ def test_partially_suppressed_conditions_match_on_survivors(spark):
         probe,
     )
     # row 0: id suppressed → match on id2=10 → node 1
-    # row 1: id2 null (removed) → match on id=2 → node 2
-    # row 2: both gone → match nothing
-    assert got == ["1", "2"]
+    # row 1: id2 genuinely NULL → condition KEPT with None value
+    #        (matcher.py:72 keeps None-valued attrs) → matches nothing
+    # row 2: id suppressed, id2 NULL kept → matches nothing
+    assert got == ["1"]
 
 
 def test_partial_suppression_salted_path(spark):
@@ -181,7 +182,7 @@ def test_partial_suppression_salted_path(spark):
     expr = ('MATCH("TestLabel", id = suppress_neg_r3s(INT(probe.id)), '
             "id2 = INT(probe.id2))")
     assert run_match(spark, expr, probe,
-                     broadcast_nodes=False, match_salt_buckets=4) == ["1", "2"]
+                     broadcast_nodes=False, match_salt_buckets=4) == ["1"]
 
 
 def test_suppressed_dynamic_label_matches_on_remaining(spark):
@@ -209,3 +210,61 @@ def test_suppressed_dynamic_label_matches_on_remaining(spark):
     # row 0: TestLabel ∧ A → node 1; row 1: label suppressed → all
     # TestLabel nodes (1 and 2)
     assert got == ["1", "1", "2"]
+
+
+def test_suppression_flag_distinct_from_genuine_null(spark):
+    """A wrapper that KEEPS a None-valued attribute must not be treated as
+    suppression: the condition stays in the set with a null value and the
+    row matches nothing — while a wrapper RETURNING None removes the
+    condition and the row matches on the survivors (matcher.py:71-76)."""
+    from data2neo_spark import register_attribute_postprocessor
+
+    @register_attribute_postprocessor
+    def suppress_neg_keep_null_r4(attribute):
+        return None if (attribute.value or 0) < 0 else attribute
+
+    probe = pd.DataFrame({
+        "probe": [0, 1],
+        # row 0: id NULL — wrapper runs on None, keeps the attr → condition
+        #        kept with null value → matches nothing despite id2=10
+        # row 1: id -1 — wrapper suppresses → match on id2=10 → node 1
+        "id": pd.array([None, -1], dtype="Int64"),
+        "id2": pd.array([10, 10], dtype="Int64"),
+        "Label": ["TestLabel"] * 2,
+        "missing": pd.array([None] * 2, dtype="float64"),
+    })
+    got = run_match(
+        spark,
+        'MATCH("TestLabel", id = suppress_neg_keep_null_r4(INT(probe.id)), '
+        "id2 = INT(probe.id2))",
+        probe,
+    )
+    assert got == ["1"]
+
+
+def test_suppression_branch_cap_linear_routing(spark, monkeypatch):
+    """Above SUPPRESSION_BRANCH_CAP the lowering routes rows by their first
+    unsuppressed condition (k equi-join branches + post-filter) instead of
+    2^k−1 subset branches — same answers, bounded plan size."""
+    from data2neo_spark.plans import lowering
+
+    from data2neo_spark import register_attribute_postprocessor
+
+    @register_attribute_postprocessor
+    def suppress_neg_r4cap(attribute):
+        return None if (attribute.value or 0) < 0 else attribute
+
+    probe = pd.DataFrame({
+        "probe": [0, 1, 2],
+        "id": [-1, 2, -5],
+        "id2": pd.array([10, None, None], dtype="Int64"),
+        "Label": ["TestLabel"] * 3,
+        "missing": pd.array([None] * 3, dtype="float64"),
+    })
+    expr = ('MATCH("TestLabel", id = suppress_neg_r4cap(INT(probe.id)), '
+            "id2 = INT(probe.id2))")
+    monkeypatch.setattr(lowering, "SUPPRESSION_BRANCH_CAP", 1)
+    assert run_match(spark, expr, probe) == ["1"]
+    # and on the salted path too
+    assert run_match(spark, expr, probe,
+                     broadcast_nodes=False, match_salt_buckets=4) == ["1"]
