@@ -50,9 +50,16 @@ class IDRegistry:
         self._table: Optional[DataFrame] = None
         self._max_id: int = 0
         if path is not None:
+            import shutil
+
             os.makedirs(path, exist_ok=True)
             target = os.path.join(path, "registry")
             old = os.path.join(path, "_old_registry")
+            # crash recovery: sweep staging dirs a killed write stranded
+            # (mirrors GraphStore.__init__'s _tmp_ sweep)
+            for d in os.listdir(path):
+                if d.startswith("_tmp_registry_"):
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             if not os.path.exists(os.path.join(target, "_SUCCESS")) and \
                     os.path.exists(os.path.join(old, "_SUCCESS")):
                 os.rename(old, target)
@@ -89,54 +96,85 @@ class IDRegistry:
         (see module docstring). The anti-join that finds new keys
         broadcasts nothing corpus-sized: its build side is the registry
         scan, which Spark/AQE sizes normally."""
-        if assign not in ("sorted", "partitioned"):
-            raise ValueError("assign must be 'sorted' or 'partitioned'")
         keys = (
             df.select(F.col(key_col).alias("key"))
             .where(F.col("key").isNotNull())
             .distinct()
         )
+        return self._register_keys(keys, assign, num_partitions)
+
+    def register_batch(
+        self,
+        items,
+        assign: str = "sorted",
+        num_partitions: int = 0,
+    ) -> DataFrame:
+        """Register keys from MANY frames in one pass: ``items`` is a list
+        of (df, key_col). The key frames union into a single distinct set,
+        so the whole batch costs ONE anti-join + ONE assignment + ONE
+        materialize (one persist/max action) instead of one per call —
+        the per-call action cost noted as a round-3 debt."""
+        if not items:
+            return self._table
+        keys = None
+        for df, key_col in items:
+            k = (
+                df.select(F.col(key_col).alias("key"))
+                .where(F.col("key").isNotNull())
+            )
+            keys = k if keys is None else keys.unionByName(k)
+        return self._register_keys(keys.distinct(), assign, num_partitions)
+
+    def _register_keys(
+        self, keys: DataFrame, assign: str, num_partitions: int
+    ) -> DataFrame:
+        if assign not in ("sorted", "partitioned"):
+            raise ValueError("assign must be 'sorted' or 'partitioned'")
         new = keys.join(self._table.select("key"), "key", "left_anti")
-        if assign == "sorted":
-            w = Window.orderBy("key")
-            assigned = new.select(
-                "key",
-                (F.row_number().over(w) + F.lit(self._max_id))
-                .cast("long").alias("sid"),
-            )
-        else:
-            n_parts = num_partitions or max(
-                self.spark.sparkContext.defaultParallelism, 1
-            )
-            # LOGICAL hash bucket computed from the data, not
-            # spark_partition_id(): physical partition ids are not stable
-            # under AQE (runtime coalescing re-maps them between plan
-            # executions), which would silently re-assign ids on recompute
-            parts = new.withColumn(
-                "_pid", F.pmod(F.xxhash64(F.col("key")), F.lit(n_parts)).cast("int")
-            ).persist()
-            counts = dict(
-                (r["_pid"], r["count"])
-                for r in parts.groupBy("_pid").count().collect()
-            )
-            offsets = {}
-            acc = 0
-            for pid in sorted(counts):
-                offsets[pid] = acc
-                acc += counts[pid]
-            off_expr = F.lit(0)
-            for pid, off in offsets.items():
-                off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
-            wp = Window.partitionBy("_pid").orderBy("key")
-            assigned = parts.select(
-                "key",
-                (F.row_number().over(wp) + off_expr + F.lit(self._max_id))
-                .cast("long").alias("sid"),
-            )
-        updated = self._table.unionByName(assigned)
-        self._materialize(updated)
-        if assign == "partitioned":
-            parts.unpersist()
+        parts = None
+        try:
+            if assign == "sorted":
+                w = Window.orderBy("key")
+                assigned = new.select(
+                    "key",
+                    (F.row_number().over(w) + F.lit(self._max_id))
+                    .cast("long").alias("sid"),
+                )
+            else:
+                n_parts = num_partitions or max(
+                    self.spark.sparkContext.defaultParallelism, 1
+                )
+                # LOGICAL hash bucket computed from the data, not
+                # spark_partition_id(): physical partition ids are not stable
+                # under AQE (runtime coalescing re-maps them between plan
+                # executions), which would silently re-assign ids on recompute
+                parts = new.withColumn(
+                    "_pid", F.pmod(F.xxhash64(F.col("key")), F.lit(n_parts)).cast("int")
+                ).persist()
+                counts = dict(
+                    (r["_pid"], r["count"])
+                    for r in parts.groupBy("_pid").count().collect()
+                )
+                offsets = {}
+                acc = 0
+                for pid in sorted(counts):
+                    offsets[pid] = acc
+                    acc += counts[pid]
+                off_expr = F.lit(0)
+                for pid, off in offsets.items():
+                    off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+                wp = Window.partitionBy("_pid").orderBy("key")
+                assigned = parts.select(
+                    "key",
+                    (F.row_number().over(wp) + off_expr + F.lit(self._max_id))
+                    .cast("long").alias("sid"),
+                )
+            updated = self._table.unionByName(assigned)
+            self._materialize(updated)
+        finally:
+            # unpersist even when the write/rename throws (ADVICE r3)
+            if parts is not None:
+                parts.unpersist()
         return self._table
 
     def lookup(self, df: DataFrame, key_col: str, id_col: str = "sid") -> DataFrame:

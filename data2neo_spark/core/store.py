@@ -700,12 +700,29 @@ class GraphStore:
                 w = w.partitionedBy(F.bucket(partition_buckets, F.col(key)))
             try:
                 w.createOrReplace()
-            except Exception:
+            except Exception as e:
                 # the V1 session catalog has no atomic REPLACE TABLE AS
-                # SELECT — drop+create is the documented non-atomic
-                # fallback there; real Iceberg catalogs never hit this
+                # SELECT. Fall back ONLY for that capability error — any
+                # other failure (e.g. an analysis error in the frame)
+                # propagates with the existing table untouched; a bare
+                # fallback here used to drop the only copy and then fail
+                # the create anyway (ADVICE r3). The fallback itself is
+                # write-then-swap: stage under a temp identifier, swap
+                # names only after the write succeeded.
+                msg = str(e)
+                if ("REPLACE TABLE" not in msg
+                        and "UNSUPPORTED_FEATURE" not in msg):
+                    raise
+                staged = f"{ident}__staged"
+                self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
+                ws = df.writeTo(staged).using(format)
+                if partition_buckets:
+                    ws = ws.partitionedBy(
+                        F.bucket(partition_buckets, F.col(key))
+                    )
+                ws.create()
                 self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-                w.create()
+                self.spark.sql(f"ALTER TABLE {staged} RENAME TO {ident}")
 
     @classmethod
     def load_catalog(

@@ -141,53 +141,63 @@ def lower_node_rule_dynamic(df: DataFrame, rule: NodeRule) -> DataFrame:
     return df.mapInPandas(_run, schema=_LONG_SCHEMA)
 
 
-# rows sampled (driver-side, bounded collect) to infer the dynamic-path
-# property schema; raise if wrapper-produced property keys can legitimately
-# first appear beyond this many rows
-DYNAMIC_SCHEMA_SAMPLE_ROWS = 1000
-
-
-def _merge_scalar_type(cur: Optional[T.DataType], v: Any) -> T.DataType:
-    """Promote the merged type of a property across sampled rows:
-    bool < long < double < string; mixed/unknown → string."""
-    if isinstance(v, bool):
-        t: T.DataType = T.BooleanType()
-    elif isinstance(v, int):
-        t = T.LongType()
-    elif isinstance(v, float):
-        t = T.DoubleType()
-    else:  # str (P7 coerces exotic values to str before serialization)
-        t = T.StringType()
-    if cur is None or cur == t:
-        return t
-    if {type(cur), type(t)} == {T.LongType, T.DoubleType}:
-        return T.DoubleType()
-    return T.StringType()
+_CODE_TO_TYPE = {
+    1: T.BooleanType(), 2: T.LongType(), 3: T.DoubleType(), 4: T.StringType()
+}
 
 
 def _typed_props(df: DataFrame, json_col: str) -> Tuple[DataFrame, List[str]]:
     """Parse a JSON props column into typed columns.
 
-    The schema is inferred from a driver-side sample of up to
-    DYNAMIC_SCHEMA_SAMPLE_ROWS JSON strings — ONE bounded collect instead of
-    the previous ``spark.read.json(rdd)`` distributed inference, which cost
-    an extra full pass over the wrapper-produced rows and was the repo's
-    only RDD use. Sound because dynamic-path property dicts are flat
-    scalars by construction (_props_json runs coerce_value first, P7).
-    Contract: a property key whose FIRST occurrence lies beyond the sample
-    is dropped; schemas that sparse should set a larger sample bound.
-    """
-    strs = [
-        r[0]
-        for r in df.select(json_col)
-        .filter(F.col(json_col).isNotNull())
-        .limit(DYNAMIC_SCHEMA_SAMPLE_ROWS)
+    The key→type map is computed DISTRIBUTIVELY: an Arrow pandas UDF tags
+    every (key, scalar-type) pair, then one explode + groupBy(key)
+    collect_set aggregation (output is one row per distinct property key —
+    metadata-sized) is collected and merged on the driver with the
+    bool < long < double < string promotion lattice. Exact: a key first
+    appearing in the last row of a 10^12-row frame still gets its column
+    (the previous bounded limit().collect() sample silently dropped keys
+    beyond the sample and was partition-order dependent). The input frame
+    is the converter's PERSISTED dynamic long table, so the extra pass
+    reads cache, not the wrapper pipeline. Sound because dynamic-path
+    property dicts are flat scalars by construction (_props_json runs
+    coerce_value first, P7)."""
+    @F.pandas_udf("array<struct<k:string,t:int>>")
+    def _key_types(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            if v is None:
+                out.append([])
+                continue
+            pairs = []
+            for k, val in json.loads(v).items():
+                if isinstance(val, bool):
+                    t = 1
+                elif isinstance(val, int):
+                    t = 2
+                elif isinstance(val, float):
+                    t = 3
+                else:  # str / null (P7 coerces exotic values to str)
+                    t = 4
+                pairs.append({"k": k, "t": t})
+            out.append(pairs)
+        return pd.Series(out)
+
+    key_rows = (
+        df.select(F.explode(_key_types(F.col(json_col))).alias("_kt"))
+        .groupBy(F.col("_kt.k").alias("k"))
+        .agg(F.collect_set(F.col("_kt.t")).alias("ts"))
         .collect()
-    ]
+    )
     merged: dict = {}
-    for s in strs:
-        for k, v in json.loads(s).items():
-            merged[k] = _merge_scalar_type(merged.get(k), v)
+    for r in key_rows:
+        ts = set(r["ts"])
+        if len(ts) == 1:
+            code = ts.pop()
+        elif ts <= {2, 3}:
+            code = 3
+        else:
+            code = 4
+        merged[r["k"]] = _CODE_TO_TYPE[code]
     if not merged:
         return df, []
     # alphabetical field order matches the previous spark.read.json behavior

@@ -59,3 +59,29 @@ def test_registry_persistence_and_lookup(spark, tmp_path):
     out = reg2.lookup(_df(spark, ["z", "nope"]), "k").collect()
     got = {r["k"]: r["sid"] for r in out}
     assert got == {"z": 3, "nope": None}
+
+
+def test_register_batch_single_materialize(spark):
+    reg = IDRegistry(spark)
+    reg.register_batch([
+        (_df(spark, ["b", "a"]), "k"),
+        (_df(spark, ["c", "a", None]), "k"),
+    ])
+    got = {r["key"]: r["sid"] for r in reg.table.collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    # batch after batch stays dense + monotone
+    reg.register_batch([(_df(spark, ["d", "b"]), "k")])
+    got = {r["key"]: r["sid"] for r in reg.table.collect()}
+    assert got["d"] == 4 and got["b"] == 2
+
+
+def test_stale_tmp_dirs_swept_on_init(spark, tmp_path):
+    p = str(tmp_path / "reg")
+    reg = IDRegistry(spark, path=p)
+    reg.register(_df(spark, ["x"]), "k")
+    # simulate a crashed write: stranded staging dir
+    import os
+    os.makedirs(os.path.join(p, "_tmp_registry_123"), exist_ok=True)
+    reg2 = IDRegistry(spark, path=p)
+    assert not os.path.exists(os.path.join(p, "_tmp_registry_123"))
+    assert {r["key"] for r in reg2.table.collect()} == {"x"}

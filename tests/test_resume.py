@@ -174,3 +174,33 @@ def test_bucket_swap_crash_recovery(spark, tmp_path):
     store3 = GraphStore(spark, path=path, buckets=4)
     assert {r["id"]: r["name"] for r in store3.nodes.collect()} == before
     assert not os.path.exists(os.path.join(nodes_dir, f"_old_{victim}"))
+
+
+def test_catalog_replace_failure_preserves_table(spark):
+    """A runtime failure while writing the replacement must NOT destroy the
+    existing catalog table (the old bare-except fallback dropped it before
+    the new write had succeeded)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    v1 = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+    store = GraphStore(spark)
+    Converter(SCHEMA, [("T", spark.createDataFrame(v1))], store=store)(spark)
+    try:
+        store.save_catalog("cat_guard_test")
+        n_before = spark.table("cat_guard_test_nodes").count()
+
+        @F.udf("long")
+        def _boom(x):
+            raise RuntimeError("boom")
+
+        bad = GraphStore(spark)
+        bad._nodes = spark.range(3).withColumn("v", _boom("id"))
+        with _pytest.raises(Exception):
+            bad.save_catalog("cat_guard_test")
+        # original table survives the failed replace
+        assert spark.table("cat_guard_test_nodes").count() == n_before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_guard_test_nodes")
+        spark.sql("DROP TABLE IF EXISTS cat_guard_test_nodes__staged")
+        spark.sql("DROP TABLE IF EXISTS cat_guard_test_edges")

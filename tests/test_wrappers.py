@@ -253,3 +253,32 @@ ENTITY("E"):
         )(spark)
     msg = str(excinfo.value)
     assert "entity 'E'" in msg and "boom" in msg and "'id': 7" in msg
+
+
+def test_dynamic_schema_sees_late_first_occurrence_keys(spark):
+    """The dynamic-path property schema is inferred distributively: a
+    property key whose FIRST occurrence is in the very last row of a
+    wide frame still gets its typed column (the old bounded driver-side
+    sample silently dropped keys beyond row 1000)."""
+    from data2neo_spark import register_subgraph_postprocessor
+
+    @register_subgraph_postprocessor
+    def sg_post_late_key_r4(subgraph):
+        n = subgraph.nodes[0]
+        if n["id"] == 2999:               # far beyond any sample bound
+            n["rare_prop"] = 42
+        return subgraph
+
+    schema = """
+ENTITY("E"):
+  sg_post_late_key_r4(NODE("X")) x:
+    + id = INT(E.id)
+"""
+    store = Converter(
+        schema,
+        [("E", spark.createDataFrame(pd.DataFrame({"id": range(3000)})))],
+    )(spark)
+    row = [r for r in store.nodes.collect() if r["id"] == 2999][0]
+    assert row["rare_prop"] == 42
+    others = [r["rare_prop"] for r in store.nodes.collect() if r["id"] != 2999]
+    assert all(v is None for v in others)
