@@ -22,17 +22,72 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..pipeline.webtext import extract_pages, detect_mentions, link_entities
 
 
+def _stateless_mentions(
+    docs: DataFrame,
+    entity_dict: DataFrame,
+    extra_cols,
+    count_hits: bool = False,
+) -> DataFrame:
+    """Stateless mention detection for streams, with the batch path's
+    size-gated strategy (pipeline/webtext.py detect_mentions 'auto'):
+
+    * small dictionary (optimizer byte estimate under the array cap) — the
+      surface set inlines as a literal array, zero shuffle, exactly the
+      batch array strategy;
+    * larger dictionary — distinct words explode and equi-join the STATIC
+      dict frame (stream-static join, no driver-side collect, no plan
+      bloat, no aggregation → still no state store). Spark broadcasts the
+      static side when its own size logic allows; otherwise it shuffles.
+
+    Both paths emit one row per distinct mentioned surface per document.
+    """
+    from ..core.converter import Converter
+    from ..pipeline.webtext import ARRAY_STRATEGY_MAX_DICT, _DICT_ROW_BYTES_EST
+
+    cap_bytes = ARRAY_STRATEGY_MAX_DICT * _DICT_ROW_BYTES_EST
+    est = Converter._estimated_bytes(entity_dict)
+    if est is None:
+        est = entity_dict.count() * _DICT_ROW_BYTES_EST
+    words = F.split(F.col("text"), " ")
+    if est <= cap_bytes:
+        surfaces = sorted(r[0] for r in entity_dict.select("surface").collect())
+        surf_arr = F.array(*[F.lit(s) for s in surfaces])
+        base = F.array_intersect(F.array_distinct(words), surf_arr)
+        dict_side = F.broadcast(entity_dict)
+    else:
+        base = F.array_distinct(words)
+        dict_side = entity_dict
+    sel = [F.col(c) for c in extra_cols]
+    if count_hits:
+        exploded = docs.select(
+            *sel,
+            F.explode(
+                F.transform(base, lambda m: F.struct(
+                    m.alias("surface"),
+                    F.size(F.filter(words, lambda w: w == m))
+                    .cast("long").alias("n_hits"),
+                ))
+            ).alias("_m"),
+        ).select(*extra_cols, F.col("_m.surface").alias("surface"),
+                 F.col("_m.n_hits").alias("n_hits"))
+    else:
+        exploded = docs.select(
+            *sel, F.explode(base).alias("surface")
+        ).withColumn("n_hits", F.lit(1).cast("long"))
+    return exploded.join(dict_side, "surface")
+
+
 def stream_pages_to_triples(pages_stream: DataFrame, entity_dict: DataFrame) -> DataFrame:
     """Streaming pages → (subj, pred, obj) triples.
 
-    Uses the zero-shuffle array strategy (stateless, so the stream needs no
-    state store at all) — every micro-batch is a pure map. The caller picks
-    the sink (``writeStream.format("parquet"|"memory")...``).
+    Stateless (no state store): every micro-batch is a pure map + a
+    stream-static dict join, size-gated between the zero-shuffle array
+    strategy and the join strategy (see :func:`_stateless_mentions`). The
+    caller picks the sink (``writeStream.format("parquet"|"memory")...``).
     """
     docs = extract_pages(pages_stream)
-    mentions = detect_mentions(docs, entity_dict, strategy="array")
-    linked = link_entities(mentions, assume_unambiguous=True)
-    return linked.select(
+    mentions = _stateless_mentions(docs, entity_dict, ["url"])
+    return mentions.select(
         F.concat(F.lit("Page:"), F.col("url")).alias("subj"),
         F.lit("MENTIONS").alias("pred"),
         F.concat(F.lit("Entity:"), F.col("canonical")).alias("obj"),
@@ -52,18 +107,10 @@ def stream_windowed_mention_counts(
     docs = pages_stream.select("url", "warc_ts", "text").withWatermark(
         "warc_ts", watermark
     )
-    # inline zero-shuffle mention detection carrying the event-time column
+    # size-gated stateless mention detection carrying the event-time column
     # (a stream-stream self-join to re-attach warc_ts would need two
     # watermarks; carrying the column through the explode avoids it)
-    surfaces = sorted(r[0] for r in entity_dict.select("surface").collect())
-    surf_arr = F.array(*[F.lit(s) for s in surfaces])
-    words = F.split(F.col("text"), " ")
-    surf = docs.select(
-        "url",
-        "warc_ts",
-        F.explode(F.array_intersect(F.array_distinct(words), surf_arr)).alias("surface"),
-    )
-    enriched = surf.join(F.broadcast(entity_dict), "surface")
+    enriched = _stateless_mentions(docs, entity_dict, ["url", "warc_ts"])
     return (
         enriched.groupBy(
             F.window("warc_ts", window).alias("win"),
@@ -98,9 +145,11 @@ def stream_pages_to_graph(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch runs in batch context — the batch auto strategy's
+        # size gate applies directly (no unconditional dict inlining)
         docs = extract_pages(batch_df)
         linked = link_entities(
-            detect_mentions(docs, entity_dict, strategy="array"),
+            detect_mentions(docs, entity_dict, strategy="auto"),
             assume_unambiguous=True,
         )
         conv_schema = schema or """

@@ -4,6 +4,7 @@ windowed mention counts, applyInPandasWithState sessionization."""
 import os
 import time
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -159,3 +160,41 @@ def test_stream_pages_to_graph(spark, pages_dir, tmp_path):
     pages_to_graph(spark.read.parquet(pages_dir), edict, batch_store)
     assert store.nodes.count() == batch_store.nodes.count()
     assert store.edges.count() == batch_store.edges.count()
+
+
+def test_large_dict_uses_join_not_inline(spark):
+    """The streaming mention path must size-gate the dictionary like the
+    batch auto strategy: a large dict goes through a stream-static equi
+    join (no driver-side collect of surfaces, no literal array in the
+    plan)."""
+    from data2neo_spark.streaming.ingest import _stateless_mentions
+
+    big_dict = spark.range(300_000).selectExpr(
+        "concat('w', id) surface", "id entity_id",
+        "concat('W', id) canonical", "'thing' kind",
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1"], "text": ["w1 w2 w999 foo"]})
+    )
+    out = _stateless_mentions(docs, big_dict, ["url"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" not in plan          # no inlined literal dict
+    assert "Join" in plan
+    got = {(r["url"], r["surface"]) for r in out.collect()}
+    assert got == {("u1", "w1"), ("u1", "w2"), ("u1", "w999")}
+
+
+def test_small_dict_keeps_array_strategy(spark):
+    from data2neo_spark.streaming.ingest import _stateless_mentions
+
+    small_dict = spark.createDataFrame(pd.DataFrame({
+        "surface": ["w1", "w2"], "entity_id": [1, 2],
+        "canonical": ["W1", "W2"], "kind": ["t", "t"],
+    }))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1"], "text": ["w1 w3 w1"]})
+    )
+    out = _stateless_mentions(docs, small_dict, ["url"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan              # inlined zero-shuffle path
+    assert [(r["url"], r["surface"]) for r in out.collect()] == [("u1", "w1")]
