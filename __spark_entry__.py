@@ -528,6 +528,18 @@ def _text_tokens(spark, sf_dir):
     )
 
 
+def _text_tokens_bpe(spark, sf_dir):
+    """Real subword (BPE) token counts — the unit training budgets use.
+    The DuckDB oracle replays the merge loop exactly with a recursive CTE
+    (one leftmost best-rank merge per step, provably identical to the
+    public merge-all-occurrences loop; operators/bpe.py docstring)."""
+    from data2neo_spark.operators.text import with_token_count
+
+    return with_token_count(
+        _read(spark, sf_dir, "documents"), tokenizer="bpe"
+    ).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
 def _text_langid(spark, sf_dir):
     from data2neo_spark.operators.text import with_langid
 
@@ -1015,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": _sim_ivf,
         "text_quality": _text_quality,
         "text_tokens": _text_tokens,
+        "text_tokens_bpe": _text_tokens_bpe,
         "text_langid": _text_langid,
         "text_tfidf": _text_tfidf,
         "text_chunks": _text_chunks,
@@ -1129,6 +1142,61 @@ def _pagerank_sql(iters: int, scale: int = 10**12) -> str:
                 FROM ed JOIN p{i} p ON p.v = ed.src GROUP BY ed.dst
             ) s ON s.dst = nd.v)""")
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM p{iters}"
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of the BPE tokenizer: the deterministic merges table
+    inlines as VALUES; a recursive CTE applies one leftmost best-rank
+    merge per step per DISTINCT word (equivalent to the public merge-all
+    loop — see data2neo_spark/operators/bpe.py), then per-doc counts sum
+    the word-level token counts."""
+    from data2neo_spark.operators.bpe import default_merges
+
+    vals = ",".join(
+        f"('{l}','{r}',{i})" for i, (l, r) in enumerate(default_merges())
+    )
+    return f"""
+WITH RECURSIVE
+merges(l, r, rank) AS (VALUES {vals}),
+dw(word) AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+),
+bpe(word, toks) AS (
+  SELECT word, string_split(word, '') FROM dw
+  UNION ALL
+  SELECT b.word,
+         b.toks[1:best.i-1] || [b.toks[best.i] || b.toks[best.i+1]]
+           || b.toks[best.i+2:]
+  FROM bpe b, LATERAL (
+    SELECT g.i
+    FROM (SELECT unnest(generate_series(1, len(b.toks)-1)) AS i) g
+    JOIN merges m ON m.l = b.toks[g.i] AND m.r = b.toks[g.i+1]
+    ORDER BY m.rank, g.i LIMIT 1
+  ) best
+),
+final AS (
+  SELECT word, CAST(len(toks) AS BIGINT) AS n_toks FROM bpe b
+  WHERE NOT EXISTS (
+    SELECT 1
+    FROM (SELECT unnest(generate_series(1, len(b.toks)-1)) AS i) g
+    JOIN merges m ON m.l = b.toks[g.i] AND m.r = b.toks[g.i+1]
+  )
+),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(coalesce(s.bpe, 0) AS BIGINT) AS bpe_tokens
+FROM documents d
+LEFT JOIN (
+  SELECT w.doc_id, sum(f.n_toks) AS bpe
+  FROM docw w JOIN final f USING (word)
+  GROUP BY w.doc_id
+) s USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1660,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens "
             "FROM documents"
         ),
+        "text_tokens_bpe": _bpe_oracle_sql(),
         "text_langid": (
             "SELECT doc_id, score_en, score_de, score_fr, score_es, "
             f"{_LANG_CASE} AS lang_pred FROM ("

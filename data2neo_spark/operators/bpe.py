@@ -1,0 +1,215 @@
+"""Byte-pair-encoding tokenizer (public GPT-2-style merge ranks).
+
+Training-data budgets, chunk boundaries, and contamination windows are
+denominated in *tokenizer* tokens in real LLM pipelines, not whitespace
+tokens. This module implements the public BPE algorithm (Sennrich et al.
+2016; the same greedy merge loop OpenAI's GPT-2 encoder uses, minus the
+byte→unicode remap) with a deterministic merges table trained from an
+embedded seed corpus, so every run — Spark, the pure-python reference in
+tests, and the DuckDB SQL oracle — produces identical tokenizations.
+
+Equivalence note for the SQL oracle: the encoder merges ONE leftmost
+occurrence of the current best-rank pair per step. This is provably
+identical to GPT-2's merge-all-occurrences-per-iteration loop: a pair
+containing a token created by merge rank r can only have been learned
+AFTER r (its element did not exist earlier), so its rank is > r, and the
+best-rank pair therefore stays best until all its occurrences are merged.
+One-occurrence-per-step is what a recursive SQL CTE can replay.
+
+Spark execution is an Arrow pandas UDF with a per-batch word→count memo —
+Zipf makes the memo hit rate ~99% on natural text, so the python cost is
+per *distinct* word, not per token. No shuffle anywhere; the UDF is a
+per-row map.
+
+Reference parity: the reference repo has no tokenizer; this is a
+first-class training-pipeline extension (SURVEY.md §2 additions).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic seed corpus for the default merges table. Plain English
+# written for this module (public knowledge only); the trained merges are a
+# pure function of this string and N_MERGES.
+SEED_CORPUS = """
+the quick brown fox jumps over the lazy dog while the query engine scans the
+table and sorts the rows by key before the merge join starts the stream of
+batches flows through the filter and the window function counts the values
+in each group the data frame joins the small table with the big table and
+the planner picks a broadcast join when the size is small the spark engine
+shuffles the rows on the key and the partition holds the sorted run the
+customer orders a part from the supplier and the order lines carry the
+quantity and the price the document text is split into words and the tokens
+are counted and the chunks overlap the language model trains on the clean
+corpus after the duplicates are removed and the quality filter keeps the
+good lines the graph stores the nodes and the edges and the labels mark the
+kinds the slow scan reads the column values and the fast hash finds the
+bucket the value of the row in the stream is added to the running sum in
+the window and the agg result is written to the sink
+"""
+
+N_MERGES = 200
+
+
+def train_merges(corpus: str, n_merges: int) -> List[Tuple[str, str]]:
+    """Sennrich-style BPE training: repeatedly merge the most frequent
+    adjacent symbol pair (ties → lexicographically smallest pair), applied
+    over the word-frequency table of the whitespace-split corpus. Fully
+    deterministic; stops early when no pair occurs twice."""
+    freqs: Dict[Tuple[str, ...], int] = {}
+    for w in corpus.split():
+        key = tuple(w)
+        freqs[key] = freqs.get(key, 0) + 1
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Dict[Tuple[str, str], int] = {}
+        for sym, n in freqs.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        out: Dict[Tuple[str, ...], int] = {}
+        for sym, n in freqs.items():
+            new: List[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            key = tuple(new)
+            out[key] = out.get(key, 0) + n
+        freqs = out
+    return merges
+
+
+@lru_cache(maxsize=1)
+def default_merges() -> Tuple[Tuple[str, str], ...]:
+    return tuple(train_merges(SEED_CORPUS, N_MERGES))
+
+
+def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """Greedy BPE encode of one word: repeatedly merge the leftmost
+    occurrence of the best-rank adjacent pair (see module docstring for
+    the equivalence with the merge-all variant)."""
+    toks = list(word)
+    while len(toks) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        toks[best_i:best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+    return toks
+
+
+def _ranks(merges=None) -> Dict[Tuple[str, str], int]:
+    m = default_merges() if merges is None else merges
+    return {pair: i for i, pair in enumerate(m)}
+
+
+def bpe_count_column(text_col: Column, merges=None) -> Column:
+    """Column: total BPE token count of a whitespace-tokenized text."""
+    ranks = _ranks(merges)
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        memo: Dict[str, int] = {}
+
+        def wc(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                n = len(encode_word(w, ranks))
+                memo[w] = n
+            return n
+
+        return s.map(
+            lambda t: sum(wc(w) for w in t.split(" ") if w) if t else 0
+        ).astype("int64")
+
+    return _count(text_col)
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", merges=None
+) -> DataFrame:
+    """Adds ``bpe_tokens``: the document's BPE token count. Zero-shuffle
+    (a per-row Arrow map with a per-batch distinct-word memo)."""
+    return df.withColumn("bpe_tokens", bpe_count_column(F.col(text_col), merges))
+
+
+def chunk_documents_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 64,
+    merges=None,
+) -> DataFrame:
+    """Chunk documents on BPE token budgets: (id, chunk_id, chunk_text,
+    n_tokens) where each chunk is a maximal run of consecutive WHOLE words
+    whose BPE token sum fits ``max_tokens`` (a single word longer than the
+    budget becomes its own over-budget chunk rather than being split
+    mid-word). Greedy left-to-right packing — deterministic; zero-shuffle
+    (per-row Arrow map + explode)."""
+    ranks = _ranks(merges)
+
+    @F.pandas_udf(
+        "array<struct<chunk_id:long,chunk_text:string,n_tokens:long>>"
+    )
+    def _chunks(s: pd.Series) -> pd.Series:
+        memo: Dict[str, int] = {}
+
+        def wc(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                n = len(encode_word(w, ranks))
+                memo[w] = n
+            return n
+
+        def pack(t):
+            if not t:
+                return []
+            out = []
+            cur: List[str] = []
+            cur_n = 0
+            for w in t.split(" "):
+                n = wc(w)
+                if cur and cur_n + n > max_tokens:
+                    out.append({"chunk_id": len(out),
+                                "chunk_text": " ".join(cur),
+                                "n_tokens": cur_n})
+                    cur, cur_n = [], 0
+                cur.append(w)
+                cur_n += n
+            out.append({"chunk_id": len(out), "chunk_text": " ".join(cur),
+                        "n_tokens": cur_n})
+            return out
+
+        return s.map(pack)
+
+    return (
+        df.select(F.col(id_col), F.explode(_chunks(F.col(text_col))).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+        )
+    )

@@ -57,15 +57,26 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace + regex ("BPE-ish" alnum-run) token counts."""
+def with_token_count(
+    df: DataFrame, text_col: str = "text", tokenizer: str = "ws"
+) -> DataFrame:
+    """Whitespace + regex (alnum-run) token counts; ``tokenizer="bpe"``
+    additionally adds the real subword count (``bpe_tokens``, the unit
+    training budgets are denominated in — see operators/bpe.py)."""
     text = F.col(text_col)
-    return df.withColumn(
+    out = df.withColumn(
         "ws_tokens", F.size(F.split(text, " ")).cast("long")
     ).withColumn(
         "re_tokens",
         F.size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+"), 0)).cast("long"),
     )
+    if tokenizer == "bpe":
+        from .bpe import bpe_count_column
+
+        out = out.withColumn("bpe_tokens", bpe_count_column(text))
+    elif tokenizer != "ws":
+        raise ValueError("tokenizer must be 'ws' or 'bpe'")
+    return out
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,102 @@
+"""BPE tokenizer: deterministic training, encoding equivalence with the
+public merge-all-occurrences algorithm, Spark operators, chunk packing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data2neo_spark.operators import bpe
+
+
+def _encode_merge_all(word, merges):
+    """Independent reference: GPT-2-style loop — find the best-rank pair,
+    merge ALL its non-overlapping occurrences left-to-right, repeat."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = list(word)
+    while len(toks) > 1:
+        pairs = {(a, b) for a, b in zip(toks, toks[1:])}
+        cand = [p for p in pairs if p in ranks]
+        if not cand:
+            break
+        best = min(cand, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best:
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_training_deterministic_and_useful():
+    m1 = bpe.train_merges(bpe.SEED_CORPUS, bpe.N_MERGES)
+    m2 = bpe.train_merges(bpe.SEED_CORPUS, bpe.N_MERGES)
+    assert m1 == m2 and len(m1) > 50
+    ranks = {p: i for i, p in enumerate(m1)}
+    # a frequent seed word compresses to one token
+    assert bpe.encode_word("the", ranks) == ["the"]
+
+
+def test_leftmost_single_merge_equals_merge_all():
+    """The one-occurrence-per-step encoder (SQL-replayable) must equal the
+    public merge-all-per-iteration algorithm on every corpus word and on
+    adversarial repeats."""
+    merges = bpe.default_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = set(bpe.SEED_CORPUS.split()) | {
+        "aaaa", "thethe", "ananan", "windowwindow", "xyzzy", "a", ""
+    }
+    for w in words:
+        assert bpe.encode_word(w, ranks) == _encode_merge_all(w, merges), w
+
+
+def test_unknown_chars_are_singleton_tokens():
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+    toks = bpe.encode_word("q7#", ranks)
+    assert toks == ["q", "7", "#"]
+
+
+def test_with_bpe_token_count(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the the the", "", "stream window"],
+    }))
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe.with_bpe_token_count(df).collect()}
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+    exp2 = len(bpe.encode_word("stream", ranks)) + len(bpe.encode_word("window", ranks))
+    assert got == {0: 3, 1: 0, 2: exp2}
+
+
+def test_with_token_count_bpe_wiring(spark):
+    from data2neo_spark.operators.text import with_token_count
+
+    df = spark.createDataFrame(pd.DataFrame({"text": ["the fast scan"]}))
+    row = with_token_count(df, tokenizer="bpe").collect()[0]
+    assert row["ws_tokens"] == 3 and row["bpe_tokens"] >= 3
+    with pytest.raises(ValueError):
+        with_token_count(df, tokenizer="nope")
+
+
+def test_chunk_documents_bpe_packing(spark):
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+    text = " ".join(["the", "window", "stream", "filter"] * 10)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    rows = sorted(
+        bpe.chunk_documents_bpe(df, "doc_id", max_tokens=10).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # chunks rebuild the text exactly, budgets respected, counts exact
+    assert " ".join(r["chunk_text"] for r in rows) == text
+    for r in rows:
+        assert r["n_tokens"] <= 10
+        assert r["n_tokens"] == sum(
+            len(bpe.encode_word(w, ranks)) for w in r["chunk_text"].split(" ")
+        )
+    # greedy maximality: adding the next chunk's first word would overflow
+    for a, b in zip(rows, rows[1:]):
+        nxt = len(bpe.encode_word(b["chunk_text"].split(" ")[0], ranks))
+        assert a["n_tokens"] + nxt > 10
