@@ -540,6 +540,16 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _text_langid_v2(spark, sf_dir):
+    """Cavnar-Trenkle rank-order n-gram language ID over ~20 languages
+    (operators/langid.py); the oracle replays the identical normalize →
+    n-gram → rank → out-of-place-distance pipeline with the profiles
+    inlined as VALUES."""
+    from data2neo_spark.operators.langid import with_langid_ct
+
+    return with_langid_ct(_read(spark, sf_dir, "documents"), "doc_id")
+
+
 def _text_langid(spark, sf_dir):
     from data2neo_spark.operators.text import with_langid
 
@@ -1029,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _text_tokens,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_langid": _text_langid,
+        "text_langid_v2": _text_langid_v2,
         "text_tfidf": _text_tfidf,
         "text_chunks": _text_chunks,
         "text_fingerprint": _text_fingerprint,
@@ -1142,6 +1153,66 @@ def _pagerank_sql(iters: int, scale: int = 10**12) -> str:
                 FROM ed JOIN p{i} p ON p.v = ed.src GROUP BY ed.dst
             ) s ON s.dst = nd.v)""")
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM p{iters}"
+
+
+def _langid_ct_oracle_sql() -> str:
+    """DuckDB replay of the Cavnar-Trenkle classifier: language profiles
+    inline as VALUES; doc profiles, ranks, and out-of-place distances are
+    computed with the same expressions (regex/substr/row_number semantics
+    verified identical across Java regex and RE2)."""
+    from data2neo_spark.operators.langid import (
+        NGRAM_MAX, PROFILE_K, language_profiles,
+    )
+
+    vals = ",".join(
+        f"('{lang}','{gram}',{rank + 1})"
+        for lang, grams in language_profiles().items()
+        for rank, gram in enumerate(grams)
+    )
+    gram_lists = " || ".join(
+        f"(CASE WHEN len(s) >= {n} THEN "
+        f"list_transform(generate_series(1, len(s)-{n - 1}), i -> substr(s, i, {n})) "
+        f"ELSE [] END)"
+        for n in range(1, NGRAM_MAX + 1)
+    )
+    return rf"""
+WITH
+profiles(lang, gram, lrank) AS (VALUES {vals}),
+norm AS (
+  SELECT doc_id,
+         '_' || regexp_replace(lower(text), '[^\p{{L}}]+', '_', 'g') || '_' AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({gram_lists}) AS gram FROM norm
+),
+counts AS (SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram),
+dp AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS drank
+  FROM counts
+  QUALIFY drank <= {PROFILE_K}
+),
+k AS (SELECT doc_id, count(*) AS _k FROM dp GROUP BY doc_id),
+m AS (
+  SELECT dp.doc_id, p.lang,
+         sum(abs(dp.drank - p.lrank) - {PROFILE_K}) AS adj
+  FROM dp JOIN profiles p USING (gram)
+  GROUP BY dp.doc_id, p.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         CAST(k._k * {PROFILE_K} + m.adj AS BIGINT) AS dist,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY k._k * {PROFILE_K} + m.adj, lang
+         ) AS rn
+  FROM m JOIN k USING (doc_id)
+  QUALIFY rn = 1
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred, b.dist
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
 
 
 def _bpe_oracle_sql() -> str:
@@ -1738,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({score(['el','los','que'])} AS BIGINT) AS score_es "
             "FROM documents)"
         ),
+        "text_langid_v2": _langid_ct_oracle_sql(),
         "text_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"

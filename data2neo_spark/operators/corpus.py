@@ -40,6 +40,7 @@ def clean_corpus(
     max_frac_dup_lines: Optional[float] = None,
     max_symbol_word_ratio: Optional[float] = None,
     min_frac_alpha_words: Optional[float] = None,
+    langid: str = "stopword",
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, report).
 
@@ -77,7 +78,22 @@ def clean_corpus(
             )
     flagged = flagged.withColumn("_q_ok", q_ok)
     if keep_langs is not None:
-        flagged = with_langid(flagged, text_col).withColumn(
+        if langid == "ct":
+            # rank-order n-gram model (operators/langid.py, ~20 languages):
+            # per-doc predictions join back on id — costs the langid
+            # pipeline's own shuffles, unlike the zero-shuffle stopword
+            # scorer, so it is opt-in
+            from .langid import with_langid_ct
+
+            preds = with_langid_ct(docs, id_col, text_col).select(
+                id_col, "lang_pred"
+            )
+            flagged = flagged.join(preds, id_col, "left")
+        elif langid == "stopword":
+            flagged = with_langid(flagged, text_col)
+        else:
+            raise ValueError("langid must be 'stopword' or 'ct'")
+        flagged = flagged.withColumn(
             "_elig", F.col("_q_ok") & F.col("lang_pred").isin(keep_langs)
         )
     else:
