@@ -706,12 +706,23 @@ def _corpus_stats(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
-    """Arrow mapInPandas plumbing over binary payloads; sha256 + byte length
-    are DuckDB-computable, so the stub pipeline is value-verified."""
+    """Arrow mapInPandas over binary payloads with REAL PNG/JPEG/WAV header
+    decode (pure-python container parsing). The oracle rebuilds the exact
+    payload hex per media_id with the same integer arithmetic, hashes it,
+    and derives the expected dimensions — verifying synth → bytes → parse
+    end-to-end. (sha256 of the UPPERCASE hex, not the raw bytes: DuckDB's
+    sha256 is VARCHAR-only.)"""
     from data2neo_spark.operators.multimodal import synth_media, extract_features
 
     media = synth_media(spark, n=200)
-    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
+    feats = extract_features(media)
+    hexhash = media.select(
+        "media_id", F.sha2(F.hex(F.col("payload")), 256).alias("payload_hex_sha")
+    )
+    return feats.join(hexhash, "media_id").select(
+        "media_id", "kind", "n_bytes", "format", "width", "height",
+        "sample_rate", "duration_ms", "payload_hex_sha",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1597,15 +1608,57 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 10
     """
-    # multimodal: the synthetic payload is sha256-hex of ('42' || id), so
-    # byte length + payload sha256 are fully SQL-expressible
-    multimodal = """
-        SELECT range AS media_id,
-               CASE CAST(range % 3 AS INTEGER) WHEN 0 THEN 'image'
+    # multimodal: rebuild each payload's hex with the same integer
+    # arithmetic synth_media used (PNG/JPEG/WAV headers), hash it, and
+    # derive the parsed dimensions independently from the formulas
+    def _le(expr, nbytes):
+        return " || ".join(
+            f"lpad(hex((({expr}) // {256 ** i}) % 256), 2, '0')"
+            for i in range(nbytes)
+        )
+
+    multimodal = f"""
+        WITH base AS (
+          SELECT range AS media_id,
+                 16 + (range * 7) % 240 AS w,
+                 16 + (range * 11) % 240 AS h,
+                 8000 + (range % 5) * 4000 AS rate,
+                 1 + range % 2 AS ch,
+                 (range % 50 + 1) * 1000 AS ds
+          FROM range(200)
+        ), hx AS (
+          SELECT *,
+            CASE
+              WHEN media_id % 3 = 0 AND (media_id // 3) % 2 = 0 THEN
+                '89504E470D0A1A0A0000000D49484452'
+                || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
+                || '080600000000000000'
+              WHEN media_id % 3 = 0 THEN
+                'FFD8FFC0001108' || lpad(hex(h), 4, '0')
+                || lpad(hex(w), 4, '0') || '03' || repeat('00', 9) || 'FFD9'
+              WHEN media_id % 3 = 1 THEN
+                '52494646' || {_le('ds + 36', 4)} || '57415645666D742010000000'
+                || '0100' || {_le('ch', 2)} || {_le('rate', 4)}
+                || {_le('rate * ch * 2', 4)} || {_le('ch * 2', 2)}
+                || '1000' || '64617461' || {_le('ds', 4)}
+              ELSE upper(sha256('42' || CAST(media_id AS VARCHAR)))
+            END AS hexstr
+          FROM base
+        )
+        SELECT media_id,
+               CASE CAST(media_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               CAST(64 AS BIGINT) AS n_bytes,
-               sha256(sha256('42' || CAST(range AS VARCHAR))) AS sha256
-        FROM range(200)
+               CAST(length(hexstr) / 2 AS BIGINT) AS n_bytes,
+               CASE WHEN media_id % 3 = 0 AND (media_id // 3) % 2 = 0 THEN 'png'
+                    WHEN media_id % 3 = 0 THEN 'jpeg'
+                    WHEN media_id % 3 = 1 THEN 'wav' END AS format,
+               CASE WHEN media_id % 3 = 0 THEN CAST(w AS INTEGER) END AS width,
+               CASE WHEN media_id % 3 = 0 THEN CAST(h AS INTEGER) END AS height,
+               CASE WHEN media_id % 3 = 1 THEN CAST(rate AS INTEGER) END AS sample_rate,
+               CASE WHEN media_id % 3 = 1
+                    THEN CAST((ds * 1000) // (rate * ch * 2) AS BIGINT) END AS duration_ms,
+               sha256(hexstr) AS payload_hex_sha
+        FROM hx
     """
     cos_pairs = """
         WITH v AS (

@@ -99,14 +99,60 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.extract_features(media).collect()
     assert len(feats) == 30
     assert all(len(r["feature"]) == 8 for r in feats)
-    assert all(r["n_bytes"] == 64 for r in feats)
+    by_id = {r["media_id"]: r for r in feats}
+    # real header parsing: PNG/JPEG dims and WAV rate follow the synth
+    # formulas; opaque 'video' payloads parse to nulls
+    for i, r in by_id.items():
+        if i % 3 == 0:
+            assert r["format"] == ("png" if (i // 3) % 2 == 0 else "jpeg")
+            assert r["width"] == 16 + (7 * i) % 240
+            assert r["height"] == 16 + (11 * i) % 240
+        elif i % 3 == 1:
+            assert r["format"] == "wav"
+            assert r["sample_rate"] == 8000 + (i % 5) * 4000
+            ds, ch = (i % 50 + 1) * 1000, 1 + i % 2
+            assert r["duration_ms"] == (ds * 1000) // (r["sample_rate"] * ch * 2)
+        else:
+            assert r["format"] is None and r["width"] is None
     # deterministic across runs
     again = {r["media_id"]: r["sha256"] for r in
              multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()}
     assert again == {r["media_id"]: r["sha256"] for r in feats}
-    # the real-decode path is an explicit stub
+    # the pixel-decode path is an explicit stub (headers parse either way)
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake_feature=False).collect()
+
+
+def test_header_parsers_on_real_files():
+    """The parsers handle realistic containers, not just the synth shape:
+    a PNG with a real CRC, a JPEG whose SOF0 sits after APP0+comment
+    segments, a WAV with an extra chunk before data, and garbage."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    assert multimodal.parse_png(png) == (640, 480)
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    jpeg = b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+    assert multimodal.parse_jpeg(jpeg) == (640, 480)
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data = b"\x00" * 400
+    wav = (b"RIFF" + struct.pack("<I", 36 + 4 + 8 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt + extra
+           + b"data" + struct.pack("<I", len(data)) + data)
+    assert multimodal.parse_wav(wav) == (44100, 2, 16, 400 * 1000 // (44100 * 4))
+
+    for garbage in (b"", b"\x00\x01", b"RIFFxxxx", b"\xff\xd8\xff\xd9"):
+        hdr = multimodal.parse_header(garbage)
+        assert hdr["format"] is None
 
 
 def test_clean_corpus(spark):
