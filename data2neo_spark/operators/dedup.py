@@ -760,9 +760,26 @@ def duplicate_clusters(
         flowed = edges.join(lab.withColumnRenamed("v", "u"), "u").select(
             F.col("v"), F.col("lab")
         )
-        new_lab = (
-            lab.unionByName(flowed).groupBy("v").agg(F.min("lab").alias("lab"))
+        # the convergence signal rides INSIDE the round job (r4): the old
+        # label is tagged through the same union+groupBy the round needs
+        # anyway, and an observe() metric counts pre-jump changes — no
+        # separate convergence join+scan per round. Stopping on pre-jump
+        # stability is exact: at the fixpoint the jump is the identity.
+        tagged = (
+            lab.select("v", "lab", F.lit(True).alias("_o"))
+            .unionByName(flowed.withColumn("_o", F.lit(False)))
         )
+        new_lab = tagged.groupBy("v").agg(
+            F.min("lab").alias("lab"),
+            F.min(F.when(F.col("_o"), F.col("lab"))).alias("_old"),
+        )
+        obs = Observation()
+        # metric may double-count if the subtree executes twice (jump
+        # self-join) — only the ==0 test matters, which is unaffected
+        new_lab = new_lab.observe(
+            obs,
+            F.sum((F.col("lab") != F.col("_old")).cast("long")).alias("changed"),
+        ).select("v", "lab")
         if jump:
             # pointer jump: lab ← lab[lab]. Every label is itself a node id
             # with an entry, lab(x) ≤ x, so the jumped label can only
@@ -782,18 +799,8 @@ def duplicate_clusters(
             new_lab = new_lab.persist()
             if i > 0 and i % 5 == 0:
                 new_lab = new_lab.localCheckpoint(eager=False)
-        if i == 0:
-            # round 0 always changes labels when any edge exists — skip the
-            # convergence join+count (one fewer job; the persisted frame
-            # fills lazily on round 1's first use)
-            lab.unpersist()
-            lab = new_lab
-            continue
-        changed = (
-            new_lab.join(lab.withColumnRenamed("lab", "_old"), "v")
-            .where(F.col("lab") != F.col("_old"))
-            .count()
-        )
+            new_lab.count()
+        changed = obs.get["changed"] or 0  # sum over empty frame → null
         lab.unpersist()
         lab = new_lab
         if changed == 0:
