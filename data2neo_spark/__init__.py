@@ -52,7 +52,7 @@ from .schema.compiler import compile_schema
 # data2neo.common_modules side-effect import.
 from . import functions as _functions  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Attribute",

@@ -147,3 +147,29 @@ def test_dynamic_keys():
     node = tree[0][1][0][0]
     assert node[1][1] == [["AttributeFactory", [None, "dynamic_label", None]]]
     assert node[1][2] == "id"
+
+
+def test_relation_keyword_deprecation_message():
+    """Reference core/converter.py:307-308 — the deprecated RELATION(
+    keyword gets its dedicated migration message, not a generic parse
+    error."""
+    import pytest
+    from data2neo_spark.schema.compiler import compile_schema
+
+    with pytest.raises(DeprecationWarning,
+                       match="The RELATION keyword is deprecated. "
+                             "Please use RELATIONSHIP instead."):
+        compile_schema('ENTITY("E"):\n  NODE("X") x:\n    + id = E.id\n'
+                       '  RELATION(x, "r", x):\n')
+
+
+def test_version_matches_pyproject():
+    import pathlib
+    import re
+
+    import data2neo_spark
+
+    toml = (pathlib.Path(data2neo_spark.__file__).parent.parent
+            / "pyproject.toml").read_text()
+    assert re.search(r'version = "([^"]+)"', toml).group(1) == \
+        data2neo_spark.__version__
