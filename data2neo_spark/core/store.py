@@ -35,6 +35,20 @@ from ..plans import lowering as L
 BUCKET = "_nbucket"
 
 
+def _merge_into_sql(ident: str, view: str, cols: List[str], key: str) -> str:
+    """Full-replace-equivalent MERGE INTO (Iceberg upsert path): update
+    matched rows, insert new ones, delete rows absent from the source."""
+    qcols = [f"`{c}`" for c in cols]
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in qcols)
+    return (
+        f"MERGE INTO {ident} t USING {view} s ON t.`{key}` = s.`{key}` "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({', '.join(qcols)}) "
+        f"VALUES ({', '.join('s.' + c for c in qcols)}) "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+
+
 class GraphStore:
     """``buckets > 0`` lays the node/edge parquet out as hash-bucket
     partition directories (``_nbucket=pmod(key, buckets)``): incremental
@@ -691,6 +705,20 @@ class GraphStore:
             if df is None:
                 continue
             ident = f"{identifier_prefix}_{name}"
+            if format == "iceberg" and self.spark.catalog.tableExists(ident):
+                # real Iceberg catalog + existing table: upsert via MERGE
+                # INTO — only changed rows rewrite (a snapshot commit),
+                # instead of replacing the whole table. NOT MATCHED BY
+                # SOURCE THEN DELETE makes it full-replace-equivalent.
+                view = f"_d2s_merge_src_{name}"
+                df.createOrReplaceTempView(view)
+                try:
+                    self.spark.sql(
+                        _merge_into_sql(ident, view, df.columns, key)
+                    )
+                finally:
+                    self.spark.catalog.dropTempView(view)
+                continue
             w = df.writeTo(ident).using(format)
             if partition_buckets:
                 if format != "iceberg":

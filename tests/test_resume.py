@@ -204,3 +204,45 @@ def test_catalog_replace_failure_preserves_table(spark):
         spark.sql("DROP TABLE IF EXISTS cat_guard_test_nodes")
         spark.sql("DROP TABLE IF EXISTS cat_guard_test_nodes__staged")
         spark.sql("DROP TABLE IF EXISTS cat_guard_test_edges")
+
+
+def test_merge_into_sql_shape():
+    from data2neo_spark.core.store import _merge_into_sql
+
+    sql = _merge_into_sql("cat.db.g_nodes", "_src", ["_uid", "name"], "_uid")
+    assert sql.startswith("MERGE INTO cat.db.g_nodes t USING _src s "
+                          "ON t.`_uid` = s.`_uid`")
+    assert "WHEN MATCHED THEN UPDATE SET t.`_uid` = s.`_uid`, "\
+           "t.`name` = s.`name`" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (`_uid`, `name`) "\
+           "VALUES (s.`_uid`, s.`name`)" in sql
+    assert sql.endswith("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+
+
+def _iceberg_available(spark):
+    try:
+        return any(
+            k.startswith("spark.sql.catalog.")
+            and "iceberg" in str(spark.conf.get(k, "")).lower()
+            for k in ("spark.sql.catalog.local", "spark.sql.catalog.iceberg")
+        )
+    except Exception:
+        return False
+
+
+def test_save_catalog_iceberg_merge_roundtrip(spark):
+    """Integration path: with an Iceberg catalog configured, a second
+    save_catalog upserts via MERGE INTO (snapshot commit) instead of
+    replacing the table. Skipped in this sandbox (no Iceberg runtime)."""
+    if not _iceberg_available(spark):
+        pytest.skip("no Iceberg catalog configured in this environment")
+    v1 = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+    store = GraphStore(spark)
+    Converter(SCHEMA, [("T", spark.createDataFrame(v1))], store=store)(spark)
+    store.save_catalog("local.db.merge_test", format="iceberg")
+    v2 = pd.DataFrame({"id": [2, 3, 4], "name": ["b2", "c", "d"]})
+    store2 = GraphStore(spark)
+    Converter(SCHEMA, [("T", spark.createDataFrame(v2))], store=store2)(spark)
+    store2.save_catalog("local.db.merge_test", format="iceberg")
+    re = GraphStore.load_catalog(spark, "local.db.merge_test")
+    assert re.nodes.count() == 3
