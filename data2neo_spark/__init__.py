@@ -34,7 +34,7 @@ from .core.registrar import (
 )
 from .core.store import GraphStore
 from .core.registry import IDRegistry
-from .core.converter import Converter
+from .core.converter import ConsoleProgress, Converter
 from .sources.iterators import (
     ResourceIterator,
     IteratorIterator,
@@ -66,6 +66,7 @@ __all__ = [
     "SubgraphFactoryWrapper",
     "GraphStore",
     "IDRegistry",
+    "ConsoleProgress",
     "Converter",
     "ResourceIterator",
     "IteratorIterator",

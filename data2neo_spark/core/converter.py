@@ -55,6 +55,64 @@ DEFAULT_SALT_BUCKETS = 8
 _STATS_UNKNOWN = 1 << 60
 
 
+class ConsoleProgress:
+    """tqdm-shaped zero-dependency progress bar (O6 live progress,
+    reference converter.py:234-242/:361-368 update_progress_bar): the
+    Converter accepts any tqdm-like FACTORY via ``progress_bar=``; this
+    shim prints a carriage-returned ``[data2neo] ████--- n/total`` line so
+    the surface works without tqdm installed. Pass ``tqdm.tqdm`` itself
+    for the real thing."""
+
+    def __init__(self, total: int = 0, file=None):
+        import sys as _sys
+
+        self.total = max(int(total), 1)
+        self.n = 0
+        self._file = file or _sys.stderr
+        self._last = -1
+
+    def refresh(self) -> None:
+        pct = min(self.n / self.total, 1.0)
+        step = int(pct * 100)
+        if step == self._last:
+            return
+        self._last = step
+        bar = ("█" * (step // 4)).ljust(25, "-")
+        self._file.write(f"\r[data2neo] {bar} {self.n}/{self.total}")
+        self._file.flush()
+
+    def close(self) -> None:
+        self._file.write("\n")
+        self._file.flush()
+
+
+def _progress_poller(sc, state, pb, stop_evt):
+    """Daemon thread: maps the task completion fraction of the jobs in the
+    current pass's job group onto the resource-count scale the reference's
+    bar uses (pass fraction × pass rows + completed-pass base)."""
+    tracker = sc.statusTracker()
+    while not stop_evt.is_set():
+        try:
+            group, base, span = state["group"], state["base"], state["span"]
+            done = tot = 0
+            for jid in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(jid)
+                if info is None:
+                    continue
+                for sid in info.stageIds:
+                    si = tracker.getStageInfo(sid)
+                    if si is None:
+                        continue
+                    done += si.numCompletedTasks
+                    tot += si.numTasks
+            frac = min(done / tot, 1.0) if tot else 0.0
+            pb.n = int(base + frac * span)
+            pb.refresh()
+        except Exception:
+            pass
+        stop_evt.wait(0.1)
+
+
 class Converter:
     """Compile a schema and convert typed resource streams into a GraphStore.
 
@@ -240,11 +298,84 @@ class Converter:
         spark: Optional[SparkSession] = None,
         skip_nodes: bool = False,
         skip_relationships: bool = False,
+        progress_bar=None,
     ) -> GraphStore:
         return self.run(spark, skip_nodes=skip_nodes,
-                        skip_relationships=skip_relationships)
+                        skip_relationships=skip_relationships,
+                        progress_bar=progress_bar)
 
     def run(
+        self,
+        spark: Optional[SparkSession] = None,
+        skip_nodes: bool = False,
+        skip_relationships: bool = False,
+        progress_bar=None,
+    ) -> GraphStore:
+        """``progress_bar``: an optional tqdm-like FACTORY (reference
+        converter.py:349-368 — called as ``progress_bar(total=2*rows)``,
+        then ``.n``/``.refresh()`` driven live). Task-level progress of the
+        node pass maps to the first half of the scale, the relationship
+        pass to the second — the reference's resources-processed units.
+        Pass :class:`ConsoleProgress` for a dependency-free console bar."""
+        if progress_bar is not None:
+            return self._run_with_progress(
+                spark, skip_nodes, skip_relationships, progress_bar
+            )
+        return self._run(spark, skip_nodes, skip_relationships)
+
+    def _run_with_progress(self, spark, skip_nodes, skip_relationships,
+                           progress_bar) -> GraphStore:
+        import threading
+        import uuid
+
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        sc = spark.sparkContext
+        tag = f"d2s-progress-{uuid.uuid4().hex[:8]}"
+        state = {"group": tag + "-p1", "base": 0, "span": 1}
+        pb = None
+        stop_evt = threading.Event()
+        try:
+            it = self.iterator
+            if isinstance(it, ResourceIterator):
+                pairs = it.resolve(spark)
+            elif isinstance(it, dict):
+                pairs = list(it.items())
+            else:
+                pairs = list(it)
+            n_rows = sum(df.count() for _t, df in pairs)
+            pb = progress_bar(total=2 * n_rows)
+            state["span"] = n_rows
+            self._progress_state = state
+            poller = threading.Thread(
+                target=_progress_poller, args=(sc, state, pb, stop_evt),
+                daemon=True,
+            )
+            poller.start()
+            sc.setJobGroup(state["group"], "data2neo node pass")
+            try:
+                return self._run(spark, skip_nodes, skip_relationships)
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+        finally:
+            self._progress_state = None
+            stop_evt.set()
+            if pb is not None:
+                pb.n = pb.total if hasattr(pb, "total") else pb.n
+                pb.refresh()
+                if hasattr(pb, "close"):
+                    pb.close()
+
+    def _enter_rel_pass_progress(self, spark) -> None:
+        state = getattr(self, "_progress_state", None)
+        if not state:
+            return
+        state["base"] = state["span"]
+        state["group"] = state["group"][:-3] + "-p2"
+        spark.sparkContext.setJobGroup(state["group"],
+                                       "data2neo relationship pass")
+
+    def _run(
         self,
         spark: Optional[SparkSession] = None,
         skip_nodes: bool = False,
@@ -437,6 +568,7 @@ class Converter:
 
         # ---------------- pass 2: relationships ------------------------
         t1 = time.time()
+        self._enter_rel_pass_progress(spark)
         have_nodes = store.nodes is not None and store.is_materialized
         if self.broadcast_nodes is not None:
             broadcast_nodes = self.broadcast_nodes and have_nodes
