@@ -1194,7 +1194,8 @@ WITH
 profiles(lang, gram, lrank) AS (VALUES {vals}),
 norm AS (
   SELECT doc_id,
-         '_' || regexp_replace(lower(text), '[^\p{{L}}]+', '_', 'g') || '_' AS s
+         substr('_' || regexp_replace(lower(text), '[^\p{{L}}]+', '_', 'g')
+                || '_', 1, 1000) AS s
   FROM documents
 ),
 grams AS (

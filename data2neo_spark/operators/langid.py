@@ -150,10 +150,13 @@ def _normalize_py(text: str) -> str:
     return "_" + "".join(out) + "_"
 
 
-def profile_of(text: str, k: int = PROFILE_K, n_max: int = NGRAM_MAX) -> List[str]:
+def profile_of(text: str, k: int = PROFILE_K, n_max: int = NGRAM_MAX,
+               max_chars: int = None) -> List[str]:
     """Ranked top-k n-gram profile of a text (pure python — used for the
     fixture profiles and as the in-test reference)."""
     s = _normalize_py(text)
+    if max_chars is not None:
+        s = s[:max_chars]
     counts: Dict[str, int] = {}
     for n in range(1, n_max + 1):
         for i in range(len(s) - n + 1):
@@ -179,10 +182,10 @@ def _norm_col(text: Column) -> Column:
     )
 
 
-def classify_py(text: str) -> Tuple[str, int]:
+def classify_py(text: str, max_chars: int = 1000) -> Tuple[str, int]:
     """Pure-python reference classifier (tests cross-check Spark against
-    this; identical tie-breaking)."""
-    doc = profile_of(text)
+    this; identical tie-breaking and sample cap)."""
+    doc = profile_of(text, max_chars=max_chars)
     drank = {g: i + 1 for i, g in enumerate(doc)}
     best = None
     for lang, grams in language_profiles().items():
@@ -202,14 +205,21 @@ def classify_py(text: str) -> Tuple[str, int]:
 
 
 def with_langid_ct(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text",
+    max_chars: int = 1000,
 ) -> DataFrame:
     """(id, lang_pred, dist) — Cavnar-Trenkle prediction per document.
 
     One (doc, gram) count shuffle + one per-doc rank window + a broadcast
     profile join + one (doc, lang) distance aggregation; documents whose
     profile shares no gram with any language profile (e.g. empty text)
-    predict 'und' with a NULL dist."""
+    predict 'und' with a NULL dist.
+
+    ``max_chars`` caps the normalized sample per document (the published
+    method classifies on ~300-byte samples; 1000 normalized chars is
+    already top-profile-saturating) — the 100 TB guard: per-doc cost is
+    O(max_chars), not O(document length), so a 100 KB crawl page costs
+    the same as a tweet. ``None`` disables the cap."""
     spark = df.sparkSession
     prof_rows = [
         (lang, gram, rank + 1)
@@ -218,7 +228,10 @@ def with_langid_ct(
     ]
     profiles = spark.createDataFrame(prof_rows, "lang string, gram string, lrank int")
 
-    bound = df.select(F.col(id_col), _norm_col(F.col(text_col)).alias("_s"))
+    norm = _norm_col(F.col(text_col))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, max_chars)
+    bound = df.select(F.col(id_col), norm.alias("_s"))
     s = F.col("_s")
 
     def _gram_array(n: int) -> Column:

@@ -52,3 +52,19 @@ def test_clean_corpus_ct_langid(spark):
     assert {r["doc_id"] for r in kept.collect()} == {0, 1}
     with pytest.raises(ValueError):
         clean_corpus(df, keep_langs=["en"], langid="nope")
+
+
+def test_sample_cap_bounds_cost_and_stays_exact(spark):
+    """max_chars caps the per-doc sample (the published method uses short
+    samples): a 100k-char doc classifies from its first 1000 normalized
+    chars, Spark == python reference at the same cap."""
+    long_text = ("die kinder spielen im garten und das wetter ist schön " * 300)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [long_text]})
+    )
+    r = L.with_langid_ct(df, "doc_id").collect()[0]
+    assert (r["lang_pred"], r["dist"]) == L.classify_py(long_text)
+    assert r["lang_pred"] == "de"
+    # uncapped agrees here too, just costs O(len)
+    r2 = L.with_langid_ct(df, "doc_id", max_chars=None).collect()[0]
+    assert r2["lang_pred"] == "de"

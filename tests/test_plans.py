@@ -147,3 +147,36 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     # benchmark's distinct adds its own (small side) — so at most 2, and
     # none of them may be a join-key shuffle of the corpus shingle stream
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_bpe_count_is_zero_shuffle_arrow(spark):
+    """BPE token counting must be a per-row Arrow map: one ArrowEvalPython
+    (never row-at-a-time BatchEvalPython), zero exchanges."""
+    from data2neo_spark.operators.text import with_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(with_token_count(docs, tokenizer="bpe"))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_langid_ct_shuffle_inventory(spark):
+    """Cavnar-Trenkle langid's promised plan shape: profiles join is a
+    BROADCAST (never a shuffle of the gram stream against an 800-row
+    table), and no nested-loop join anywhere."""
+    from data2neo_spark.operators.langid import with_langid_ct
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(with_langid_ct(docs, "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_header_path_is_arrow(spark):
+    from data2neo_spark.operators.multimodal import synth_media, extract_features
+
+    plan = plan_of(extract_features(synth_media(spark, n=10)))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
