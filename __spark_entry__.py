@@ -714,12 +714,14 @@ def _multimodal_features(spark, sf_dir):
     sha256 is VARCHAR-only.)"""
     from data2neo_spark.operators.multimodal import synth_media, extract_features
 
-    media = synth_media(spark, n=200)
+    # tiny frame: coalesce so mapInPandas doesn't spawn 32 python workers
+    # for 200 rows, and broadcast the hash side so the join is shuffle-free
+    media = synth_media(spark, n=200).coalesce(4)
     feats = extract_features(media)
     hexhash = media.select(
         "media_id", F.sha2(F.hex(F.col("payload")), 256).alias("payload_hex_sha")
     )
-    return feats.join(hexhash, "media_id").select(
+    return feats.join(F.broadcast(hexhash), "media_id").select(
         "media_id", "kind", "n_bytes", "format", "width", "height",
         "sample_rate", "duration_ms", "payload_hex_sha",
     )
