@@ -37,14 +37,18 @@ def pagerank(
     granularity and keep the arithmetic exactly reproducible.
 
     Shape per iteration: one join of the (src, dst, deg) edge frame with
-    the rank frame + one groupBy(dst) with map-side partial sums + one
-    left join back to the node set. When the node count is at most
-    ``broadcast_nodes_max`` the rank/contribution frames (16 bytes/node)
-    are BROADCAST, so the big edge frame is never shuffled — the only
-    exchange per round is the partial-agg groupBy(dst). Beyond that the
-    joins shuffle on their keys; hub skew behaves like any hot-key
-    aggregation (AQE skew-join or salting applies). Ranks persist per
-    round; previous rounds unpersist.
+    the rank frame + one groupBy(dst) with map-side partial sums, then a
+    UNION with the static no-incoming-edge node set — a node with no
+    in-edges has the CONSTANT rank ``base`` every round, so that set is
+    computed once before the loop and unioned in, instead of a per-round
+    left join back to all nodes (r4: saves one broadcast build + one
+    join per round). When the node count is at most
+    ``broadcast_nodes_max`` the rank frame (16 bytes/node) is BROADCAST,
+    so the big edge frame is never shuffled — the only exchange per
+    round is the partial-agg groupBy(dst). Beyond that the join shuffles
+    on its key; hub skew behaves like any hot-key aggregation (AQE
+    skew-join or salting applies). Ranks persist per round; previous
+    rounds unpersist.
 
     ``checkpoint_dir`` makes a long run resumable (north-rule contract):
     each round's rank table is written to ``<dir>/pr_round_<i>`` and a
@@ -93,6 +97,14 @@ def pagerank(
                 _os.path.join(checkpoint_dir, f"pr_round_{done[-1]}")
             )
     bcast = (lambda d: F.broadcast(d)) if n <= broadcast_nodes_max else (lambda d: d)
+    # nodes with no incoming edge keep the constant rank `base` in every
+    # round — materialize that set ONCE and union it per round instead of
+    # left-joining contributions back to the full node set
+    no_in = (
+        nodes.join(e.select(F.col("dst").alias("v")).distinct(), "v", "left_anti")
+        .select("v", F.lit(base).cast("long").alias("pr"))
+        .persist()
+    )
     for i in range(start_round, iters):
         contrib = (
             ed.join(bcast(pr.withColumnRenamed("v", "src")), "src")
@@ -101,17 +113,14 @@ def pagerank(
             .agg(F.sum("c").alias("inc"))
         )
         new_pr = (
-            nodes.join(bcast(contrib.withColumnRenamed("dst", "v")), "v", "left")
-            .withColumn(
-                "pr",
+            contrib.select(
+                F.col("dst").alias("v"),
                 (
                     F.lit(base)
-                    + F.expr(
-                        f"(coalesce(inc, 0L) * {damping_num}) div {damping_den}"
-                    )
-                ).cast("long"),
+                    + F.expr(f"(inc * {damping_num}) div {damping_den}")
+                ).cast("long").alias("pr"),
             )
-            .select("v", "pr")
+            .unionByName(no_in)
         )
         if checkpoint_dir is not None:
             rdir = _os.path.join(checkpoint_dir, f"pr_round_{i}")
@@ -123,5 +132,6 @@ def pagerank(
         pr.unpersist()
         pr = new_pr
     ed.unpersist()
+    no_in.unpersist()
     nodes.unpersist()
     return pr
