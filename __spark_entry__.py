@@ -540,6 +540,18 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _text_quality_model(spark, sf_dir):
+    """Trained linear quality-classifier head (fastText/DCLM-style stage):
+    deterministic pure-python logistic training on an embedded fixture,
+    weights quantized to integer micro-units, scoring = integer dot
+    product — bit-identical in the DuckDB oracle."""
+    from data2neo_spark.operators.quality_model import with_quality_score
+
+    return with_quality_score(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_logit_micro", "quality_keep"
+    )
+
+
 def _text_langid_v2(spark, sf_dir):
     """Cavnar-Trenkle rank-order n-gram language ID over ~20 languages
     (operators/langid.py); the oracle replays the identical normalize →
@@ -1047,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedupe_lines": _text_dedupe_lines,
         "asof_tolerance_events": _asof_tolerance_events,
         "text_pii": _text_pii,
+        "text_quality_model": _text_quality_model,
         "corpus_stats": _corpus_stats,
         "sim_topk": _sim_topk,
         "agg_region_volume": _agg_region_volume,
@@ -1169,6 +1182,46 @@ def _pagerank_sql(iters: int, scale: int = 10**12) -> str:
                 FROM ed JOIN p{i} p ON p.v = ed.src GROUP BY ed.dst
             ) s ON s.dst = nd.v)""")
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM p{iters}"
+
+
+def _quality_model_oracle_sql() -> str:
+    """DuckDB replay of the linear quality classifier: learned integer
+    micro-weights inlined as literals, features recomputed with identical
+    integer expressions."""
+    from data2neo_spark.operators.quality_model import (
+        STOPWORDS, trained_weights,
+    )
+
+    bias, ws = trained_weights()
+    occ_terms = " + ".join(
+        f"CAST((len(padded) - len(replace(padded, ' {w} ', ''))) // {len(w) + 2} AS BIGINT)"
+        for w in STOPWORDS
+    )
+    feats = [
+        "CAST(n_words AS BIGINT)",
+        "CAST((non_space * 10) // n_words AS BIGINT)",
+        "CAST(len(list_filter(words, w -> regexp_matches(w, '[0-9]'))) AS BIGINT)",
+        f"({occ_terms})",
+        "CAST(n_words - len(list_distinct(words)) AS BIGINT)",
+        "CAST(list_max(list_transform(words, w -> len(w))) AS BIGINT)",
+    ]
+    logit = f"CAST({bias} AS BIGINT) + " + " + ".join(
+        f"CAST({w} AS BIGINT) * {f}" for w, f in zip(ws, feats)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_words,
+         len(text) - (len(string_split(text, ' ')) - 1) AS non_space,
+         ' ' || text || ' ' AS padded
+  FROM documents
+)
+SELECT doc_id,
+       ({logit}) AS quality_logit_micro,
+       ({logit}) > 0 AS quality_keep
+FROM base
+"""
 
 
 def _langid_ct_oracle_sql() -> str:
@@ -1869,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)"
         ),
         "text_langid_v2": _langid_ct_oracle_sql(),
+        "text_quality_model": _quality_model_oracle_sql(),
         "text_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"
