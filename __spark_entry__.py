@@ -540,6 +540,27 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _web_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus profile over deterministically
+    synthesized URLs (sub/domain/tld/path all formulas of doc_id, .co.uk
+    exercising the two-label-suffix rule); the oracle rebuilds URLs with
+    the same formulas and replays the regex parse + aggregation."""
+    from data2neo_spark.operators.web import domain_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    mid = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://s"), (mid % 7).cast("string"),
+        F.lit(".d"), (mid % 13).cast("string"),
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"), F.lit(".co.uk")),
+            (mid % 3 + 1).cast("int"),
+        ),
+        F.repeat(F.lit("/p"), (mid % 4).cast("int")),
+    )
+    return domain_stats(docs.withColumn("url", url))
+
+
 def _text_quality_model(spark, sf_dir):
     """Trained linear quality-classifier head (fastText/DCLM-style stage):
     deterministic pure-python logistic training on an embedded fixture,
@@ -1060,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance_events": _asof_tolerance_events,
         "text_pii": _text_pii,
         "text_quality_model": _text_quality_model,
+        "web_domain_stats": _web_domain_stats,
         "corpus_stats": _corpus_stats,
         "sim_topk": _sim_topk,
         "agg_region_volume": _agg_region_volume,
@@ -1923,6 +1945,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid_v2": _langid_ct_oracle_sql(),
         "text_quality_model": _quality_model_oracle_sql(),
+        "web_domain_stats": r"""
+WITH u AS (
+  SELECT doc_id, text,
+         'https://s' || CAST(doc_id % 7 AS VARCHAR)
+         || '.d' || CAST(doc_id % 13 AS VARCHAR)
+         || (CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.co.uk' END)
+         || repeat('/p', CAST(doc_id % 4 AS INTEGER)) AS url
+  FROM documents
+), p AS (
+  SELECT *,
+         regexp_replace(lower(regexp_extract(url,
+             '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '') AS host
+  FROM u
+), r AS (
+  SELECT *,
+         CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                   IN ('co.uk','com.au','co.jp','com.br','co.in')
+               AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+              THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+              ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END
+           AS registered_domain
+  FROM p
+)
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars,
+       CAST((sum(len(string_split(text, ' '))) * 10) // count(*) AS BIGINT)
+         AS avg_words_x10,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM r GROUP BY 1
+""",
         "text_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"

@@ -1,0 +1,131 @@
+"""Web/URL operators for crawl corpora: URL parsing, per-domain corpus
+statistics, and domain blocklist filtering — the domain-level hygiene
+stage every Common-Crawl pipeline runs (spam domains dominate raw crawls;
+per-domain quality statistics drive the keep/drop lists).
+
+All parsing is plain Column regex/string algebra with identical Java/RE2
+semantics, so everything is value-hash oracle-able; the blocklist filter
+follows the engine's size-gate pattern (literal isin for small lists, a
+broadcast anti-join otherwise).
+
+The reference repo has no web operators — first-class training-pipeline
+extension (SURVEY.md §2 additions).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# registrable-suffix heuristic: public-suffix lists are data, not code —
+# this fixture covers the common two-label suffixes so registered_domain
+# takes THREE labels for e.g. example.co.uk (documented approximation;
+# swap in the full PSL as a broadcast table for production)
+TWO_LABEL_SUFFIXES: List[str] = ["co.uk", "com.au", "co.jp", "com.br", "co.in"]
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def host_col(url: Column) -> Column:
+    """Host (lowercased, port stripped) from an absolute URL; null when
+    the URL has no scheme://host prefix."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    h = F.regexp_replace(h, ":[0-9]+$", "")
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """eTLD+1 under the fixture suffix list: three labels for known
+    two-label suffixes, else the last two labels."""
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    # a host whose last two labels ARE a listed suffix needs three labels
+    cond = F.lit(False)
+    for suf in TWO_LABEL_SUFFIXES:
+        cond = cond | (two == F.lit(suf))
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(cond & (three != ""), three).otherwise(
+            F.when(two == "", host).otherwise(two)
+        )
+    )
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds host, registered_domain, tld, path_depth (number of non-empty
+    path segments) — zero-shuffle projection."""
+    url = F.col(url_col)
+    host = host_col(url)
+    reg = registered_domain_col(host)
+    tld = F.regexp_extract(host, r"\.([^.]+)$", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    depth = F.when(
+        (path == "") | path.isNull(), F.lit(0)
+    ).otherwise(F.size(F.filter(F.split(path, "/"), lambda s: s != "")))
+    return (
+        df.withColumn("host", host)
+        .withColumn("registered_domain", reg)
+        .withColumn("tld", F.when(tld == "", F.lit(None).cast("string")).otherwise(tld))
+        .withColumn("path_depth", depth.cast("long"))
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registered-domain corpus profile: (registered_domain, n_docs,
+    total_chars, avg_words_x10, n_hosts). ONE groupBy shuffle with
+    map-side partials; n_hosts is an exact distinct (second partial-agg
+    phase handled by Spark's expand — acceptable because the domain
+    cardinality, not the doc count, bounds the agg state)."""
+    parts = with_url_parts(df, url_col)
+    words = F.size(F.split(F.col(text_col), " "))
+    return (
+        parts.where(F.col("registered_domain").isNotNull())
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.col(text_col)).cast("long")).alias("total_chars"),
+            ((F.sum(words.cast("long")) * 10
+              - F.pmod(F.sum(words.cast("long")) * 10, F.count(F.lit(1))))
+             / F.count(F.lit(1))).cast("long").alias("avg_words_x10"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def filter_domain_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_inline: int = 10_000,
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted. Size-gated like
+    the mention dictionary: a small blocklist inlines as an isin literal
+    (zero shuffle); a large one runs a LEFT ANTI join (broadcast by
+    Spark's own sizing, else shuffle)."""
+    parts = with_url_parts(df, url_col)
+    from ..core.converter import Converter
+
+    est = Converter._estimated_bytes(blocklist)
+    if est is not None:
+        rows_small = est <= max_inline * 64
+    else:  # stats-less source: one count job decides (cheap by definition)
+        rows_small = blocklist.count() <= max_inline
+    if rows_small:
+        domains = [r[0] for r in blocklist.select(domain_col).collect()]
+        out = parts.where(
+            ~F.col("registered_domain").isin(domains)
+            | F.col("registered_domain").isNull()
+        )
+    else:
+        out = parts.join(
+            blocklist.select(F.col(domain_col).alias("registered_domain")),
+            "registered_domain",
+            "left_anti",
+        )
+    return out.select(*df.columns)

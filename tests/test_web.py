@@ -1,0 +1,67 @@
+"""URL/domain operators: parsing edge cases, per-domain stats, size-gated
+blocklist filtering."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data2neo_spark.operators import web as W
+
+
+def test_url_parsing(spark):
+    rows = [
+        (0, "https://www.example.com/a/b/c?q=1"),
+        (1, "http://sub.shop.co.uk/item"),
+        (2, "https://EXAMPLE.ORG"),
+        (3, "https://host.io:8080/x/"),
+        (4, "not a url"),
+        (5, "ftp://files.example.net/pub"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "url"]))
+    got = {r["i"]: (r["host"], r["registered_domain"], r["tld"], r["path_depth"])
+           for r in W.with_url_parts(df).collect()}
+    assert got[0] == ("www.example.com", "example.com", "com", 3)
+    assert got[1] == ("sub.shop.co.uk", "shop.co.uk", "uk", 1)
+    assert got[2] == ("example.org", "example.org", "org", 0)
+    assert got[3] == ("host.io", "host.io", "io", 1)
+    assert got[4] == (None, None, None, 0)
+    assert got[5] == ("files.example.net", "example.net", "net", 1)
+
+
+def test_domain_stats(spark):
+    rows = [
+        ("https://a.x.com/1", "one two"),
+        ("https://b.x.com/2", "three four five"),
+        ("https://y.org/", "six"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    got = {r["registered_domain"]: r for r in W.domain_stats(df).collect()}
+    assert got["x.com"]["n_docs"] == 2 and got["x.com"]["n_hosts"] == 2
+    assert got["x.com"]["avg_words_x10"] == 25  # (2+3)/2 words = 2.5
+    assert got["y.org"]["n_docs"] == 1
+
+
+def test_blocklist_small_inlines_and_filters(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": ["https://spam.biz/x", "https://good.com/y", "no-url"],
+        "text": ["a", "b", "c"],
+    }))
+    bl = spark.createDataFrame(pd.DataFrame({"domain": ["spam.biz"]}))
+    out = W.filter_domain_blocklist(df, bl)
+    assert sorted(r["text"] for r in out.collect()) == ["b", "c"]
+    assert out.columns == ["url", "text"]
+    # small list → no join in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_blocklist_large_uses_anti_join(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": ["https://spam0.biz/x", "https://good.com/y"],
+        "text": ["a", "b"],
+    }))
+    big = spark.range(300_000).selectExpr("concat('spam', id, '.biz') AS domain")
+    out = W.filter_domain_blocklist(df, big)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join LeftAnti" in plan
+    assert [r["text"] for r in out.collect()] == ["b"]
