@@ -540,6 +540,34 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _corpus_sample(spark, sf_dir):
+    """Deterministic hash-based mixture sampling (order-free md5 rule:
+    keep iff md5_hash60(seed|id) % 1e6 < rate·1e6) with per-language
+    rates — the training-data mixing stage; exactly SQL-replayable."""
+    from data2neo_spark.operators.corpus import sample_corpus, train_test_split
+
+    docs = _read(spark, sf_dir, "documents")
+    sampled = sample_corpus(
+        docs, rates_by="lang", rates={"en": 0.5, "de": 0.25, "fr": 0.1},
+        seed=11,
+    )
+    return train_test_split(sampled, test_rate=0.2, seed=3).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _text_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: global token cumsum in id order via
+    logical id-range buckets (no single-reducer window), then
+    budget-multiple boundaries. The oracle replays with a plain window
+    cumsum — bucket math must be invisible in the result."""
+    from data2neo_spark.operators.text import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), "doc_id", budget=2048
+    )
+
+
 def _web_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus profile over deterministically
     synthesized URLs (sub/domain/tld/path all formulas of doc_id, .co.uk
@@ -1082,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": _text_pii,
         "text_quality_model": _text_quality_model,
         "web_domain_stats": _web_domain_stats,
+        "corpus_sample": _corpus_sample,
+        "text_pack_sequences": _text_pack_sequences,
         "corpus_stats": _corpus_stats,
         "sim_topk": _sim_topk,
         "agg_region_volume": _agg_region_volume,
@@ -1945,6 +1975,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid_v2": _langid_ct_oracle_sql(),
         "text_quality_model": _quality_model_oracle_sql(),
+        "corpus_sample": """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS bsamp,
+         CAST(concat('0x', substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS bsplit
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bsplit < 200000 THEN 'test' ELSE 'train' END AS split
+FROM h
+WHERE bsamp < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+               WHEN 'fr' THEN 100000 ELSE -1 END)
+""",
+        "text_pack_sequences": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS cum_before,
+       CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) // 2048 AS BIGINT) AS seq_id,
+       CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) % 2048 AS BIGINT) AS offset_in_seq
+FROM documents
+""",
         "web_domain_stats": r"""
 WITH u AS (
   SELECT doc_id, text,

@@ -222,3 +222,70 @@ def corpus_length_quantiles(
         F.col("_pq.p").alias("p"),
         F.round(F.col("_pq.q"), 4).alias("n_tokens_q"),
     )
+
+
+def sample_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rate: float = None,
+    rates_by: str = None,
+    rates: dict = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic hash-based sampling — the training-data MIXING stage:
+    keep a row iff ``md5_hash60(seed‖id) % 10^6 < rate·10^6``.
+
+    Either a global ``rate`` or per-group ``rates`` keyed by the values of
+    column ``rates_by`` (e.g. per-language mixture weights; groups absent
+    from ``rates`` drop). Properties the pipeline relies on:
+
+    * deterministic and ORDER-FREE — the same (seed, id) always makes the
+      same decision on any cluster size, partitioning, or engine (md5 is
+      bit-identical everywhere, unlike Spark's per-partition rand());
+    * NESTED — rate 0.1 selects a subset of rate 0.2's selection at the
+      same seed, so mixture weights can be retuned without resampling
+      churn;
+    * zero-shuffle (a filter), and exactly SQL-replayable.
+    """
+    from .dedup import md5_hash60
+
+    bucket = F.pmod(
+        md5_hash60(F.concat(F.lit(str(seed)), F.lit("|"),
+                            F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    if rates is not None:
+        if rates_by is None:
+            raise ValueError("rates requires rates_by")
+        thresh = F.lit(-1)
+        for key, r in sorted(rates.items()):
+            thresh = F.when(F.col(rates_by) == key,
+                            F.lit(int(round(r * 1_000_000)))).otherwise(thresh)
+    elif rate is not None:
+        thresh = F.lit(int(round(rate * 1_000_000)))
+    else:
+        raise ValueError("pass rate or rates")
+    return docs.where(bucket < thresh)
+
+
+def train_test_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    test_rate: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Adds ``split`` ('train' | 'test') with the same deterministic
+    order-free hash rule as :func:`sample_corpus` — a document's split
+    never changes with cluster size, partitioning, or data additions."""
+    from .dedup import md5_hash60
+
+    bucket = F.pmod(
+        md5_hash60(F.concat(F.lit(str(seed)), F.lit("|"),
+                            F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < F.lit(int(round(test_rate * 1_000_000))),
+               F.lit("test")).otherwise(F.lit("train")),
+    )

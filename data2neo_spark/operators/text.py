@@ -539,3 +539,79 @@ def with_unigram_scores(
         .withColumn("avg_word_ppb", F.expr("_sppb div n_words"))
         .select(id_col, "n_words", "avg_word_ppb", "sum_surprise_bits")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    budget: int,
+    text_col: str = "text",
+    tokenizer: str = "ws",
+    n_buckets: int = 0,
+) -> DataFrame:
+    """Training-sequence packing: documents are concatenated in ``id_col``
+    order and split into fixed ``budget``-token sequences; returns
+    (id, n_tokens, cum_before, seq_id, offset_in_seq) where ``seq_id`` is
+    the sequence the document STARTS in (a document longer than the
+    remaining space spills into subsequent sequences — the standard
+    concat-then-chunk semantics) and ``cum_before`` is the exclusive
+    global token cumsum.
+
+    Scale shape: the global cumsum is NOT a single-reducer window — ids
+    are cut into ``n_buckets`` CONTIGUOUS LOGICAL ranges computed from
+    one min/max aggregation (bucket = (id−min)·K/(max−min+1), a pure
+    function of the id — physical-partition-independent, unlike
+    spark_partition_id which AQE re-maps), per-bucket totals collect as K
+    driver longs, and the cumsum is offset[bucket] + an in-bucket window.
+    Deterministic on any cluster size and exactly SQL-replayable (the
+    oracle uses a plain window cumsum)."""
+    from pyspark.sql import Window
+
+    if tokenizer == "bpe":
+        from .bpe import bpe_count_column
+
+        n_tok = bpe_count_column(F.col(text_col))
+    elif tokenizer == "ws":
+        n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    else:
+        raise ValueError("tokenizer must be 'ws' or 'bpe'")
+    counts = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+
+    k = n_buckets or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    lo_hi = counts.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return counts.withColumn("cum_before", F.lit(0).cast("long")) \
+            .withColumn("seq_id", F.lit(0).cast("long")) \
+            .withColumn("offset_in_seq", F.lit(0).cast("long"))
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = hi - lo + 1
+    bucket = (((F.col(id_col) - F.lit(lo)) * F.lit(k) - F.pmod(
+        (F.col(id_col) - F.lit(lo)) * F.lit(k), F.lit(span)
+    )) / F.lit(span)).cast("long")
+    b = counts.withColumn("_b", bucket)
+    totals = {
+        r["_b"]: r["_t"]
+        for r in b.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for bid in sorted(totals):
+        offsets[bid] = acc
+        acc += totals[bid]
+    off = F.lit(0).cast("long")
+    for bid, o in offsets.items():
+        off = F.when(F.col("_b") == bid, F.lit(o).cast("long")).otherwise(off)
+    w = Window.partitionBy("_b").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum_local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    out = b.withColumn("cum_before", off + cum_local)
+    seq = ((F.col("cum_before") - F.pmod(F.col("cum_before"), F.lit(budget)))
+           / F.lit(budget)).cast("long")
+    return (
+        out.withColumn("seq_id", seq)
+        .withColumn("offset_in_seq",
+                    F.pmod(F.col("cum_before"), F.lit(budget)).cast("long"))
+        .select(id_col, "n_tokens", "cum_before", "seq_id", "offset_in_seq")
+    )

@@ -771,3 +771,57 @@ def test_verified_jaccard_broadcast_is_conditional(spark, docs):
         assert "broadcast" not in plan.lower()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sample_corpus_deterministic_and_nested(spark):
+    from data2neo_spark.operators.corpus import sample_corpus, train_test_split
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+    )
+    s20 = {r["doc_id"] for r in sample_corpus(docs, rate=0.2, seed=7).collect()}
+    s10 = {r["doc_id"] for r in sample_corpus(docs, rate=0.1, seed=7).collect()}
+    assert s10 <= s20                       # nested at the same seed
+    assert abs(len(s20) - 400) < 80         # ~rate
+    again = {r["doc_id"] for r in sample_corpus(docs, rate=0.2, seed=7).collect()}
+    assert again == s20                     # order-free determinism
+    # per-group mixture rates; absent groups drop
+    mixed = sample_corpus(docs, rates_by="lang", rates={"en": 1.0}, seed=7)
+    assert {r["lang"] for r in mixed.collect()} == {"en"}
+    split = train_test_split(docs, test_rate=0.25, seed=3)
+    frac = split.where("split = 'test'").count() / 2000
+    assert 0.18 < frac < 0.32
+    # a doc's split never changes when other docs are added
+    sub = train_test_split(docs.where("doc_id < 100"), test_rate=0.25, seed=3)
+    full = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub.collect())
+
+
+def test_pack_sequences_invariants(spark):
+    from data2neo_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(10),
+        "text": [" ".join(["w"] * n) for n in [3, 5, 2, 8, 1, 4, 6, 2, 7, 3]],
+    }))
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, "doc_id", budget=10).collect()}
+    # python reference cumsum
+    toks = [3, 5, 2, 8, 1, 4, 6, 2, 7, 3]
+    cum = 0
+    for i, n in enumerate(toks):
+        assert rows[i]["n_tokens"] == n
+        assert rows[i]["cum_before"] == cum
+        assert rows[i]["seq_id"] == cum // 10
+        assert rows[i]["offset_in_seq"] == cum % 10
+        cum += n
+    # bucket-count independence: 1 vs 7 logical buckets, identical output
+    a = sorted(map(tuple, pack_sequences(docs, "doc_id", 10, n_buckets=1).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, "doc_id", 10, n_buckets=7).collect()))
+    assert a == b
+    # bpe variant runs and counts with the tokenizer
+    from data2neo_spark.operators import bpe as _bpe
+    ranks = {p: i for i, p in enumerate(_bpe.default_merges())}
+    got = pack_sequences(docs, "doc_id", 10, tokenizer="bpe").collect()
+    assert all(r["n_tokens"] == len(_bpe.encode_word("w", ranks)) * toks[r["doc_id"]]
+               for r in got)
