@@ -540,6 +540,29 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _sim_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (ANN
+    serving/storage path); floor() on IEEE doubles is deterministic
+    cross-engine, so the quantized vectors hash-match exactly."""
+    from data2neo_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(
+        _read(spark, sf_dir, "embeddings"), "vec_id"
+    ).select("vec_id", F.col("q").cast("array<int>").alias("q"), "scale_micro")
+
+
+def _graph_degree_stats(spark, sf_dir):
+    """Hub diagnostic over the Order→Part KG edge list (the A7 salting
+    pre-flight, graph twin of corpus_key_skew)."""
+    from data2neo_spark.operators.graph import degree_stats
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    return degree_stats(li, top_k=10)
+
+
 def _corpus_sample(spark, sf_dir):
     """Deterministic hash-based mixture sampling (order-free md5 rule:
     keep iff md5_hash60(seed|id) % 1e6 < rate·1e6) with per-language
@@ -1112,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_stats": _web_domain_stats,
         "corpus_sample": _corpus_sample,
         "text_pack_sequences": _text_pack_sequences,
+        "sim_quantize": _sim_quantize,
+        "graph_degree_stats": _graph_degree_stats,
         "corpus_stats": _corpus_stats,
         "sim_topk": _sim_topk,
         "agg_region_volume": _agg_region_volume,
@@ -1975,6 +2000,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid_v2": _langid_ct_oracle_sql(),
         "text_quality_model": _quality_model_oracle_sql(),
+        "sim_quantize": """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
+)
+SELECT vec_id,
+       CASE WHEN maxabs > 0
+            THEN list_transform(e, x -> CAST(floor(x * 127 / maxabs) AS INTEGER))
+            ELSE list_transform(e, x -> CAST(0 AS INTEGER)) END AS q,
+       CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_micro
+FROM m
+""",
+        "graph_degree_stats": """
+WITH e AS (
+  SELECT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+), o AS (
+  SELECT 'out' AS direction, src AS node, CAST(count(*) AS BIGINT) AS degree,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, src ASC) AS BIGINT) AS rank
+  FROM e GROUP BY src QUALIFY rank <= 10
+), i AS (
+  SELECT 'in' AS direction, dst AS node, CAST(count(*) AS BIGINT) AS degree,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, dst ASC) AS BIGINT) AS rank
+  FROM e GROUP BY dst QUALIFY rank <= 10
+)
+SELECT * FROM o UNION ALL SELECT * FROM i
+""",
         "corpus_sample": """
 WITH h AS (
   SELECT doc_id, lang,

@@ -135,3 +135,31 @@ def pagerank(
     no_in.unpersist()
     nodes.unpersist()
     return pr
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 10,
+) -> DataFrame:
+    """Hub diagnostic over the KG edge list: the ``top_k`` highest-degree
+    nodes per direction — (direction, node, degree, rank). This is the
+    pre-flight measurement that decides whether a MATCH join needs
+    salting (A7) before running at scale, the graph-side twin of
+    corpus.key_skew_report. Two groupBy shuffles (one per direction) over
+    map-side partials; ties rank by node id ascending."""
+    from pyspark.sql import Window
+
+    def side(col: str, name: str) -> DataFrame:
+        counts = edges.groupBy(F.col(col).alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        w = Window.orderBy(F.col("degree").desc(), F.col("node").asc())
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top_k)
+            .select(F.lit(name).alias("direction"), "node", "degree", "rank")
+        )
+
+    return side(src, "out").unionByName(side(dst, "in"))

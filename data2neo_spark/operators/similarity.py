@@ -300,3 +300,40 @@ def embedding_centroids(
             "centroid_micro", "centroid",
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric int quantization of an embedding column — the standard
+    serving/storage compression for ANN indexes (4× smaller than float32
+    at int8 with ~no recall loss): (id, q array<int>, scale_micro).
+
+    q_i = floor(x_i · Q / max|x|) with Q = 2^(bits−1) − 1; dequantize as
+    q_i · max|x| / Q. All math is per-row array algebra (zero shuffle);
+    floor() on IEEE doubles is deterministic cross-engine, so the DuckDB
+    oracle replays the quantized vectors exactly (a straight double→int
+    CAST would not be: Spark truncates, DuckDB rounds). ``scale_micro`` =
+    floor(max|x| · 10^6) records the scale as an exact integer. All-zero
+    vectors quantize to zeros with scale 0."""
+    q = (1 << (bits - 1)) - 1
+    vec = F.col(vec_col)
+    bound = df.withColumn(
+        "_maxabs",
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+    )
+    m = F.col("_maxabs")
+    quant = F.when(
+        m > 0,
+        F.transform(
+            vec, lambda x: F.floor(x.cast("double") * F.lit(q) / m).cast("int")
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("int")))
+    return bound.select(
+        F.col(id_col),
+        quant.alias("q"),
+        F.floor(m * F.lit(1_000_000)).cast("long").alias("scale_micro"),
+    )

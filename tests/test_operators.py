@@ -825,3 +825,39 @@ def test_pack_sequences_invariants(spark):
     got = pack_sequences(docs, "doc_id", 10, tokenizer="bpe").collect()
     assert all(r["n_tokens"] == len(_bpe.encode_word("w", ranks)) * toks[r["doc_id"]]
                for r in got)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from data2neo_spark.operators.similarity import (
+        cosine_topk, quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = {r["vec_id"]: r for r in quantize_embeddings(emb, "vec_id").collect()}
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for vid, row in list(q.items())[:50]:
+        maxabs = max(abs(x) for x in raw[vid])
+        assert row["scale_micro"] == int(maxabs * 1_000_000 // 1)
+        assert all(-128 <= v <= 127 for v in row["q"])
+        # dequantized values within one quantization step of the original
+        for orig, qi in zip(raw[vid], row["q"]):
+            deq = qi * maxabs / 127
+            assert abs(deq - orig) <= maxabs / 127 + 1e-9
+    # zero vector edge
+    z = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(z, "vec_id").collect()[0]
+    assert r["q"] == [0, 0] and r["scale_micro"] == 0
+
+
+def test_degree_stats_hubs(spark):
+    from data2neo_spark.operators.graph import degree_stats
+
+    edges = spark.createDataFrame(pd.DataFrame({
+        "src": [1, 1, 1, 2, 3],
+        "dst": [9, 9, 8, 9, 8],
+    }))
+    got = {(r["direction"], r["rank"]): (r["node"], r["degree"])
+           for r in degree_stats(edges, top_k=2).collect()}
+    assert got[("out", 1)] == (1, 3)
+    assert got[("in", 1)] == (9, 3)
+    assert got[("in", 2)] == (8, 2)
