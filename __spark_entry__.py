@@ -1126,18 +1126,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_key_skew": _corpus_key_skew,
         "sim_centroids": _sim_centroids,
         "window_events": _window_events,
+        "corpus_sample": _corpus_sample,
+        "sim_quantize": _sim_quantize,
         "dedup_exact": _dedup_exact,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_dedupe_lines": _text_dedupe_lines,
         "asof_tolerance_events": _asof_tolerance_events,
         "text_pii": _text_pii,
-        "text_quality_model": _text_quality_model,
-        "web_domain_stats": _web_domain_stats,
-        "corpus_sample": _corpus_sample,
-        "text_pack_sequences": _text_pack_sequences,
-        "sim_quantize": _sim_quantize,
-        "graph_degree_stats": _graph_degree_stats,
         "corpus_stats": _corpus_stats,
+        "graph_degree_stats": _graph_degree_stats,
+        "text_pack_sequences": _text_pack_sequences,
+        "text_quality_model": _text_quality_model,
         "sim_topk": _sim_topk,
         "agg_region_volume": _agg_region_volume,
         "kg_rel_merge_pk": _kg_rel_merge_pk,
@@ -1158,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "text_quality_v2": _text_quality_v2,
         "contamination_check": _contamination_check,
+        "web_domain_stats": _web_domain_stats,
         "dedup_ngram": _dedup_ngram,
         "corpus_clean": _corpus_clean,
         "text_remove_shared": _text_remove_shared,
