@@ -540,6 +540,21 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _dedup_incremental(spark, sf_dir):
+    """Incremental growth-path dedup: odd-id documents (the 'new batch')
+    against even-id documents (the 'existing corpus') — cross-frame LSH
+    candidates only, verified Jaccard. The oracle replays both sides'
+    signatures and restricts pairing to odd×even."""
+    from data2neo_spark.operators.dedup import incremental_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return incremental_near_duplicates(
+        new, corpus, "doc_id", threshold=0.2, num_hashes=64, bands=16
+    )
+
+
 def _sim_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column (ANN
     serving/storage path); floor() on IEEE doubles is deterministic
@@ -1169,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_upsert_update": _kg_upsert_update,
         "kg_wrappers": _kg_wrappers,
         "text_langid_v2": _text_langid_v2,
+        "dedup_incremental": _dedup_incremental,
         "dedup_simhash": _dedup_simhash,
         "dedup_minhash": _dedup_minhash,
         "kg_triples_match": _kg_triples_match,
@@ -2000,6 +2016,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid_v2": _langid_ct_oracle_sql(),
         "text_quality_model": _quality_model_oracle_sql(),
+        "dedup_incremental": f"""
+        WITH {_SHINGLE_CTES}, hbase AS (
+            SELECT doc_id, {h60_shingle} % 1073741789 AS h FROM sh
+        ), sig AS (
+            SELECT doc_id, t.i AS i,
+                   min(((((2 * t.i + 1) * 2654435761) % 1073741789) * h
+                        + (((t.i + 12345) * 1103515245) % 1073741789)) % 2147483647) AS v
+            FROM hbase CROSS JOIN range(64) t(i)
+            GROUP BY doc_id, t.i
+        ), bandsig AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS s
+            FROM sig GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandsig a
+            JOIN bandsig b ON a.band = b.band AND a.s = b.s
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
+        """,
         "sim_quantize": """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

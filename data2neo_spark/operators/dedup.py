@@ -410,33 +410,7 @@ def minhash_lsh_candidates(
     itself never changes cluster membership, only which pairwise edges are
     listed)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
-    bound = arrays.withColumn(
-        "_base",
-        F.transform(F.col("sh_arr"), lambda s: md5_hash60(s) % P30),
-    )
-
-    def _affine_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
-        )
-
-    elems = [_affine_min(*affine_coeffs(i)) for i in range(num_hashes)]
-    band_hashes = [
-        md5_hash60(
-            F.concat_ws(
-                ",",
-                *[e.cast("string")
-                  for e in elems[b * rows_per_band:(b + 1) * rows_per_band]],
-            )
-        )
-        for b in range(bands)
-    ]
-    banded = bound.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
-    )
+    banded = _banded_frame(df, id_col, text_col, num_hashes, bands, shingle_n)
     grp = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
@@ -807,3 +781,108 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return lab.select(F.col("v").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+def _banded_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bucket) — per-row MinHash band buckets (shared by the
+    self- and cross-frame candidate generators)."""
+    rows_per_band = num_hashes // bands
+    arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
+    bound = arrays.withColumn(
+        "_base",
+        F.transform(F.col("sh_arr"), lambda s: md5_hash60(s) % P30),
+    )
+
+    def _affine_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+        )
+
+    elems = [_affine_min(*affine_coeffs(i)) for i in range(num_hashes)]
+    band_hashes = [
+        md5_hash60(
+            F.concat_ws(
+                ",",
+                *[e.cast("string")
+                  for e in elems[b * rows_per_band:(b + 1) * rows_per_band]],
+            )
+        )
+        for b in range(bands)
+    ]
+    return bound.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
+    )
+
+
+def minhash_lsh_candidates_between(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL dedup candidates: new-batch documents that share any
+    MinHash band bucket with the EXISTING corpus →
+    (new_id, corpus_id, n_shared_bands). The growth-path operator — a
+    daily crawl batch is checked against the accumulated corpus without
+    re-pairing the corpus with itself (new×new candidates come from the
+    ordinary self-join operator on the batch alone).
+
+    Shape: both sides band zero-shuffle; the corpus side groups per
+    (band, bucket) into a SORTED id array capped at ``max_bucket_size``
+    (a degenerate boilerplate bucket links a new doc to the cap's worth
+    of corpus ids — ample to flag it as a duplicate — instead of 10⁵),
+    then one equi join on (band, bucket) + an explode. No corpus
+    self-pairing ever happens here.
+
+    Caller contract: the two id spaces must be disjoint."""
+    new_banded = _banded_frame(new_docs, id_col, text_col,
+                               num_hashes, bands, shingle_n)
+    corpus_banded = _banded_frame(corpus, id_col, text_col,
+                                  num_hashes, bands, shingle_n)
+    grouped = corpus_banded.groupBy("band", "bucket").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.col(id_col))), 1, max_bucket_size
+        ).alias("_ids")
+    )
+    return (
+        new_banded.withColumnRenamed(id_col, "new_id")
+        .join(grouped, ["band", "bucket"])
+        .select("new_id", F.explode("_ids").alias("corpus_id"))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-frame candidates verified with exact Jaccard ≥ threshold:
+    (id_a = new_id, id_b = corpus_id, jaccard)."""
+    cand = minhash_lsh_candidates_between(
+        new_docs, corpus, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size,
+    ).select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    both = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    return _verified_jaccard(both, cand, id_col, text_col, shingle_n, threshold)

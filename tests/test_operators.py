@@ -861,3 +861,45 @@ def test_degree_stats_hubs(spark):
     assert got[("out", 1)] == (1, 3)
     assert got[("in", 1)] == (9, 3)
     assert got[("in", 2)] == (8, 2)
+
+
+def test_incremental_near_duplicates(spark, docs):
+    """New-batch vs existing-corpus dedup: candidates come only from
+    cross-frame bucket collisions (no corpus self-pairing), verified with
+    exact Jaccard."""
+    corpus = docs                       # ids 0..4
+    new = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",   # dup of 0/1
+            "totally novel content nothing like the corpus at all",
+        ],
+    }))
+    got = dedup.incremental_near_duplicates(
+        new, corpus, "doc_id", threshold=0.5, num_hashes=32, bands=16
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert (100, 0) in pairs and pairs[(100, 0)] == 1.0
+    assert (100, 1) in pairs
+    assert not any(a == 101 for a, _b in pairs)
+    # no corpus-corpus or new-new pairs ever
+    assert all(a >= 100 and b < 100 for a, b in pairs)
+
+
+def test_incremental_bucket_cap(spark):
+    """A degenerate corpus bucket links a new doc to at most
+    max_bucket_size corpus ids (enough to flag the dup, linear width)."""
+    corpus = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "'same boilerplate page text repeated here word' AS text",
+    )
+    new = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9999],
+        "text": ["same boilerplate page text repeated here word"],
+    }))
+    cand = dedup.minhash_lsh_candidates_between(
+        new, corpus, "doc_id", num_hashes=16, bands=4, max_bucket_size=10
+    ).collect()
+    ids = {r["corpus_id"] for r in cand}
+    assert len(ids) == 10               # capped, sorted-prefix of the bucket
+    assert ids == set(range(10))
