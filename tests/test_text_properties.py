@@ -94,3 +94,45 @@ def test_redact_pii_clean_text_unchanged_and_idempotent(spark, text):
     assert red == text + " <EMAIL> <IPV4> <PHONE>"
     df3 = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [red]}))
     assert redact_pii(df3).collect()[0]["redacted"] == red
+
+
+@given(w=st.text(alphabet=string.ascii_lowercase + "0123456789#", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_bpe_leftmost_single_merge_equals_merge_all_property(w):
+    """The SQL-replayable one-merge-per-step encoder equals the public
+    merge-all-per-iteration algorithm on ARBITRARY strings (the module
+    docstring's rank argument, property-tested)."""
+    from data2neo_spark.operators import bpe
+    from tests.test_bpe import _encode_merge_all
+
+    merges = bpe.default_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    ours = bpe.encode_word(w, ranks)
+    ref = _encode_merge_all(w, merges)
+    assert ours == ref
+    assert "".join(ours) == w            # lossless
+
+
+@given(toks=st.lists(st.integers(min_value=0, max_value=50),
+                     min_size=1, max_size=30),
+       budget=st.integers(min_value=1, max_value=40),
+       k=st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_python_cumsum(spark, toks, budget, k):
+    """Packing equals the sequential python cumsum for any token counts,
+    any budget, and ANY logical bucket count."""
+    from data2neo_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(toks)),
+        "text": [" ".join(["w"] * max(n, 1)) for n in toks],
+    }))
+    rows = {r["doc_id"]: r
+            for r in pack_sequences(docs, "doc_id", budget, n_buckets=k).collect()}
+    cum = 0
+    for i, n in enumerate(toks):
+        n = max(n, 1)                    # '' still splits to one token
+        assert rows[i]["cum_before"] == cum
+        assert rows[i]["seq_id"] == cum // budget
+        assert rows[i]["offset_in_seq"] == cum % budget
+        cum += n
