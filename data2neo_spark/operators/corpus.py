@@ -41,6 +41,7 @@ def clean_corpus(
     max_symbol_word_ratio: Optional[float] = None,
     min_frac_alpha_words: Optional[float] = None,
     langid: str = "stopword",
+    min_quality_logit: Optional[int] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, report).
 
@@ -76,6 +77,13 @@ def clean_corpus(
             q_ok = q_ok & (
                 (F.col(col) <= v) if d == "le" else (F.col(col) >= v)
             )
+    if min_quality_logit is not None:
+        # model-based gate (operators/quality_model): another zero-shuffle
+        # Column term riding the same flag projection
+        from .quality_model import with_quality_score
+
+        flagged = with_quality_score(flagged, text_col)
+        q_ok = q_ok & (F.col("quality_logit_micro") >= min_quality_logit)
     flagged = flagged.withColumn("_q_ok", q_ok)
     if keep_langs is not None:
         if langid == "ct":

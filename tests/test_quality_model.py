@@ -46,3 +46,17 @@ def test_scoring_plan_is_zero_shuffle(spark):
     df = spark.range(5).selectExpr("cast(id as string) text")
     plan = Q.with_quality_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_clean_corpus_quality_model_gate(spark):
+    from data2neo_spark.operators.corpus import clean_corpus
+
+    rows = [
+        (0, "in the evening the engineers review the plan and discuss the results of the test run"),
+        (1, "win win win free free free 777 click click click now now now yes yes"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept, report = clean_corpus(docs, min_words=5, min_quality_logit=0)
+    assert {r["doc_id"] for r in kept.collect()} == {0}
+    rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    assert rep["quality"] == (2, 1)

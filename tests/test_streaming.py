@@ -198,3 +198,20 @@ def test_small_dict_keeps_array_strategy(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "array_intersect" in plan              # inlined zero-shuffle path
     assert [(r["url"], r["surface"]) for r in out.collect()] == [("u1", "w1")]
+
+
+def test_stateless_mentions_count_hits(spark):
+    """The count_hits path computes per-surface occurrence counts inside
+    the row (no aggregation → still stateless)."""
+    from data2neo_spark.streaming.ingest import _stateless_mentions
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "surface": ["w1", "w2"], "entity_id": [1, 2],
+        "canonical": ["W1", "W2"], "kind": ["t", "t"],
+    }))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1"], "text": ["w1 w3 w1 w2"]})
+    )
+    got = {(r["surface"]): r["n_hits"]
+           for r in _stateless_mentions(docs, d, ["url"], count_hits=True).collect()}
+    assert got == {"w1": 2, "w2": 1}
