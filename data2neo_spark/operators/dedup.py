@@ -774,7 +774,18 @@ def duplicate_clusters(
             if i > 0 and i % 5 == 0:
                 new_lab = new_lab.localCheckpoint(eager=False)
             new_lab.count()
-        changed = obs.get["changed"] or 0  # sum over empty frame → null
+        # non-blocking metric read (blocking Observation.get deadlocks for
+        # CollectMetrics inside foreachBatch micro-batches — same guard as
+        # core/converter._obs_value); metric unavailable → explicit count
+        from ..core.converter import Converter as _C
+
+        changed = _C._obs_value(obs, "changed")
+        if changed is None:
+            changed = (
+                new_lab.join(lab.withColumnRenamed("lab", "_old"), "v")
+                .where(F.col("lab") != F.col("_old"))
+                .count()
+            )
         lab.unpersist()
         lab = new_lab
         if changed == 0:
