@@ -576,6 +576,16 @@ def pack_sequences(
     else:
         raise ValueError("tokenizer must be 'ws' or 'bpe'")
     counts = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    from pyspark.sql import types as _T
+
+    id_type = counts.schema[id_col].dataType
+    if not isinstance(id_type, (_T.ByteType, _T.ShortType, _T.IntegerType,
+                                _T.LongType)):
+        raise ValueError(
+            f"pack_sequences needs an integer id column for the logical "
+            f"range buckets; got {id_type.simpleString()} — register a "
+            f"surrogate id first (IDRegistry)"
+        )
 
     k = n_buckets or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     lo_hi = counts.agg(

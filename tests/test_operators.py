@@ -903,3 +903,10 @@ def test_incremental_bucket_cap(spark):
     ids = {r["corpus_id"] for r in cand}
     assert len(ids) == 10               # capped, sorted-prefix of the bucket
     assert ids == set(range(10))
+
+
+def test_pack_sequences_rejects_non_integer_id(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "text": ["w"]}))
+    from data2neo_spark.operators.text import pack_sequences
+    with pytest.raises(ValueError, match="integer id"):
+        pack_sequences(df, "k", 10)
