@@ -135,6 +135,29 @@ SEED_TEXTS: Dict[str, str] = {
            "lijepo jer sunce sija i djeca se igraju u vrtu dok majka čita "
            "dobru knjigu o povijesti svijeta a otac kuha večeru za cijelu "
            "obitelj sa svježim kruhom i sirom"),
+    # non-Latin scripts — \p{L} normalization and char n-grams are
+    # script-agnostic, so the same method covers them unchanged
+    "ru": ("быстрая коричневая лиса прыгает через ленивую собаку и погода "
+           "сегодня хорошая потому что светит солнце и дети играют в саду "
+           "пока мама читает хорошую книгу об истории мира а папа готовит "
+           "ужин для всей семьи со свежим хлебом и сыром"),
+    "el": ("η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί και ο "
+           "καιρός είναι ωραίος σήμερα γιατί ο ήλιος λάμπει και τα παιδιά "
+           "παίζουν στον κήπο ενώ η μητέρα διαβάζει ένα καλό βιβλίο για την "
+           "ιστορία του κόσμου και ο πατέρας μαγειρεύει δείπνο για όλη την "
+           "οικογένεια με φρέσκο ψωμί και τυρί"),
+    "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول والطقس جميل اليوم لأن "
+           "الشمس مشرقة والأطفال يلعبون في الحديقة بينما تقرأ الأم كتابا "
+           "جيدا عن تاريخ العالم ويطبخ الأب العشاء لكل العائلة مع الخبز "
+           "الطازج والجبن"),
+    "ja": ("すばやい茶色のきつねはなまけたいぬをとびこえます きょうはてんきがよくて "
+           "たいようがかがやいています こどもたちはにわであそんでいます ははは "
+           "せかいのれきしについてのよいほんをよんでいます ちちはかぞくのために "
+           "しんせんなパンとチーズでゆうしょくをつくります"),
+    "ko": ("빠른 갈색 여우가 게으른 개를 뛰어넘습니다 오늘은 해가 빛나서 날씨가 "
+           "좋습니다 아이들은 정원에서 놀고 있습니다 어머니는 세계의 역사에 관한 "
+           "좋은 책을 읽고 아버지는 온 가족을 위해 신선한 빵과 치즈로 저녁을 "
+           "만듭니다"),
 }
 
 

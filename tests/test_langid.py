@@ -68,3 +68,23 @@ def test_sample_cap_bounds_cost_and_stays_exact(spark):
     # uncapped agrees here too, just costs O(len)
     r2 = L.with_langid_ct(df, "doc_id", max_chars=None).collect()[0]
     assert r2["lang_pred"] == "de"
+
+
+def test_non_latin_scripts(spark):
+    """\\p{L} normalization + char n-grams are script-agnostic: Cyrillic,
+    Greek, Arabic, Japanese, and Korean classify correctly, Spark ==
+    python reference."""
+    rows = [
+        (0, "ru", "дети играют в саду и погода сегодня очень хорошая мой друг"),
+        (1, "el", "τα παιδιά παίζουν στον κήπο και ο καιρός είναι πολύ ωραίος σήμερα φίλε μου"),
+        (2, "ar", "الأطفال يلعبون في الحديقة والطقس جميل جدا اليوم يا صديقي"),
+        (3, "ja", "こどもたちはにわであそんでいます きょうはてんきがとてもいいです"),
+        (4, "ko", "아이들은 정원에서 놀고 있고 오늘 날씨가 매우 좋습니다 친구여"),
+        (5, "en", "the children are playing in the garden and the weather is very nice today"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "truth", "text"]))
+    got = {r["doc_id"]: (r["lang_pred"], r["dist"])
+           for r in L.with_langid_ct(df, "doc_id").collect()}
+    for i, truth, text in rows:
+        assert got[i] == L.classify_py(text), (i, got[i])
+        assert got[i][0] == truth, (i, got[i])
