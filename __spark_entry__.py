@@ -540,6 +540,26 @@ def _text_tokens_bpe(spark, sf_dir):
     ).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
+def _text_normalize(spark, sf_dir):
+    """Unicode cleanup over deterministically-messied text (NBSP, tab,
+    combining accent, zero-width space injected per row): NFC + control
+    strip + whitespace collapse. DuckDB's nfc_normalize is verified
+    codepoint-identical to python unicodedata, so the full normalized
+    text is value-hashed."""
+    from data2neo_spark.operators.text import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    # NOTE: Spark's char() is chr(n % 256) — inject code points as python
+    # escape literals instead (DuckDB's chr() is full-unicode, keeps chr())
+    messy = F.concat(
+        F.lit(" "), F.lit("\u00a0"), F.col("text"), F.lit("\t"),
+        F.lit("Cafe"), F.lit("\u0301"), F.lit("\u200b"), F.lit(" "),
+    )
+    return normalize_text(
+        docs.withColumn("text", messy)
+    ).select("doc_id", "text_norm")
+
+
 def _dedup_incremental(spark, sf_dir):
     """Incremental growth-path dedup: odd-id documents (the 'new batch')
     against even-id documents (the 'existing corpus') — cross-frame LSH
@@ -1143,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events": _window_events,
         "corpus_sample": _corpus_sample,
         "sim_quantize": _sim_quantize,
+        "text_normalize": _text_normalize,
         "dedup_exact": _dedup_exact,
         "text_tokens_bpe": _text_tokens_bpe,
         "text_dedupe_lines": _text_dedupe_lines,
@@ -1275,6 +1296,21 @@ def _pagerank_sql(iters: int, scale: int = 10**12) -> str:
                 FROM ed JOIN p{i} p ON p.v = ed.src GROUP BY ed.dst
             ) s ON s.dst = nd.v)""")
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM p{iters}"
+
+
+def _text_normalize_oracle_sql() -> str:
+    from data2neo_spark.operators.text import _WS_CLASS
+
+    messy = ("' ' || chr(160) || text || chr(9) || 'Cafe' || chr(769) "
+             "|| chr(8203) || ' '")
+    ws = _WS_CLASS.replace("\\s", "\\s")
+    return f"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+           nfc_normalize({messy}),
+           '\\p{{Cc}}', ' ', 'g'), '{ws}', ' ', 'g')) AS text_norm
+FROM documents
+"""
 
 
 def _quality_model_oracle_sql() -> str:
@@ -2048,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
         """,
+        "text_normalize": _text_normalize_oracle_sql(),
         "sim_quantize": """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -625,3 +625,37 @@ def pack_sequences(
                     F.pmod(F.col("cum_before"), F.lit(budget)).cast("long"))
         .select(id_col, "n_tokens", "cum_before", "seq_id", "offset_in_seq")
     )
+
+
+# unicode whitespace class shared with the SQL oracle: \s plus NBSP,
+# ogham, en/em-family, zero-width, narrow/medium NBSP, ideographic, BOM
+_WS_CLASS = ("[\\s" + "".join(
+    chr(c) for c in [0x00A0, 0x1680, *range(0x2000, 0x200C),
+                     0x202F, 0x205F, 0x3000, 0xFEFF]
+) + "]+")
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Unicode cleanup — the ftfy-lite normalization pass crawl text gets
+    before tokenization: NFC composition (combining marks → precomposed),
+    control characters stripped, all unicode whitespace (NBSP, zero-width,
+    ideographic space, tabs) collapsed to single spaces, trimmed.
+
+    NFC runs in an Arrow pandas UDF (python ``unicodedata`` — verified
+    codepoint-identical to DuckDB's ``nfc_normalize``, so the oracle
+    replays it); the regex steps are native Columns with Java∩RE2-safe
+    classes."""
+    import pandas as pd_  # noqa: F401  (kept for symmetry with other UDFs)
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    c = _nfc(F.col(text_col))
+    c = F.regexp_replace(c, r"\p{Cc}", " ")
+    c = F.regexp_replace(c, _WS_CLASS, " ")
+    return df.withColumn(out_col, F.trim(c))

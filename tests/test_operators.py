@@ -910,3 +910,23 @@ def test_pack_sequences_rejects_non_integer_id(spark):
     from data2neo_spark.operators.text import pack_sequences
     with pytest.raises(ValueError, match="integer id"):
         pack_sequences(df, "k", 10)
+
+
+def test_normalize_text(spark):
+    from data2neo_spark.operators.text import normalize_text
+
+    rows = [
+        (0, " Cafe\u0301\u200b\ttext  here\u3000"),   # NFC + zw + ws
+        (1, "plain text"),
+        (2, "a\u00a0b\x07c"),                            # nbsp + control
+        (3, None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "text"]))
+    got = {r["i"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert got[0] == "Caf\u00e9 text here"
+    assert got[1] == "plain text"
+    assert got[2] == "a b c"
+    assert got[3] is None
+    # idempotent
+    df2 = spark.createDataFrame(pd.DataFrame({"i": [0], "text": [got[0]]}))
+    assert normalize_text(df2).collect()[0]["text_norm"] == got[0]
