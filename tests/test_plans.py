@@ -180,3 +180,29 @@ def test_multimodal_header_path_is_arrow(spark):
     plan = plan_of(extract_features(synth_media(spark, n=10)))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_candidates_single_band_join(spark):
+    """Cross-frame candidates must be ONE (band,bucket) equi join — never
+    a corpus self-join, never a nested loop."""
+    from data2neo_spark.operators.dedup import minhash_lsh_candidates_between
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where("doc_id % 2 = 1")
+    corpus = docs.where("doc_id % 2 = 0")
+    cand = minhash_lsh_candidates_between(new, corpus, "doc_id")
+    # count joins in the physical TREE (explain-formatted repeats operator
+    # names in its detail section)
+    tree = cand._jdf.queryExecution().executedPlan().toString()
+    joins = [l for l in tree.splitlines() if "Join" in l]
+    assert len(joins) == 1 and "BroadcastHashJoin" in joins[0]
+    assert "NestedLoop" not in tree and "CartesianProduct" not in tree
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    """The cumsum must NOT collapse to a single-reducer global window."""
+    from data2neo_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pack_sequences(docs, "doc_id", budget=512, n_buckets=8))
+    assert "Exchange SinglePartition" not in plan
