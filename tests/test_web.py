@@ -65,3 +65,16 @@ def test_blocklist_large_uses_anti_join(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join LeftAnti" in plan
     assert [r["text"] for r in out.collect()] == ["b"]
+
+
+def test_dotless_and_suffix_edge_hosts(spark):
+    rows = [
+        (0, "http://localhost/admin"),        # dotless host → itself
+        (1, "https://co.uk/"),                # bare two-label suffix
+        (2, "https://a.b.c.d.example.com/x"), # deep subdomains → eTLD+1
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "url"]))
+    got = {r["i"]: r["registered_domain"] for r in W.with_url_parts(df).collect()}
+    assert got[0] == "localhost"
+    assert got[1] == "co.uk"     # no third label available → falls back
+    assert got[2] == "example.com"
