@@ -646,8 +646,6 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     codepoint-identical to DuckDB's ``nfc_normalize``, so the oracle
     replays it); the regex steps are native Columns with Java∩RE2-safe
     classes."""
-    import pandas as pd_  # noqa: F401  (kept for symmetry with other UDFs)
-
     @F.pandas_udf("string")
     def _nfc(s):
         import unicodedata
