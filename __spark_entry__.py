@@ -578,12 +578,19 @@ def _dedup_incremental(spark, sf_dir):
 def _sim_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column (ANN
     serving/storage path); floor() on IEEE doubles is deterministic
-    cross-engine, so the quantized vectors hash-match exactly."""
+    cross-engine, so the quantized vectors hash-match exactly.  The
+    array<int> vector is flattened to a CSV string for the driver's
+    pandas-based canonicalizer (list cells are unhashable there); the
+    operator API keeps the raw array column."""
     from data2neo_spark.operators.similarity import quantize_embeddings
 
     return quantize_embeddings(
         _read(spark, sf_dir, "embeddings"), "vec_id"
-    ).select("vec_id", F.col("q").cast("array<int>").alias("q"), "scale_micro")
+    ).select(
+        "vec_id",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+        "scale_micro",
+    )
 
 
 def _graph_degree_stats(spark, sf_dir):
@@ -826,23 +833,28 @@ def _corpus_stats(spark, sf_dir):
 
 def _multimodal_features(spark, sf_dir):
     """Arrow mapInPandas over binary payloads with REAL PNG/JPEG/WAV header
-    decode (pure-python container parsing). The oracle rebuilds the exact
-    payload hex per media_id with the same integer arithmetic, hashes it,
-    and derives the expected dimensions — verifying synth → bytes → parse
-    end-to-end. (sha256 of the UPPERCASE hex, not the raw bytes: DuckDB's
-    sha256 is VARCHAR-only.)"""
+    decode AND real PNG pixel decode (pure-stdlib zlib inflate + RFC 2083
+    unfilter — the synth PNGs carry genuine IDAT stored-deflate streams
+    with valid adler32). The oracle rebuilds the exact payload hex per
+    media_id with the same integer arithmetic (including the adler32 and
+    filtered scanlines), hashes it, derives the expected dimensions, and
+    replays the pixel formula for px_sum/px_min/px_max — verifying
+    synth → bytes → inflate → unfilter → stats end-to-end. (sha256 of the
+    UPPERCASE hex, not the raw bytes: DuckDB's sha256 is VARCHAR-only.)"""
     from data2neo_spark.operators.multimodal import synth_media, extract_features
 
     # tiny frame: coalesce so mapInPandas doesn't spawn 32 python workers
-    # for 200 rows, and broadcast the hash side so the join is shuffle-free
-    media = synth_media(spark, n=200).coalesce(4)
-    feats = extract_features(media)
-    hexhash = media.select(
-        "media_id", F.sha2(F.hex(F.col("payload")), 256).alias("payload_hex_sha")
+    # for 200 rows; the hex-sha rides through the extractor as a
+    # passthrough column so the payload-synthesis expression compiles and
+    # runs in ONE plan (no self-join on the synth subtree)
+    media = synth_media(spark, n=200).coalesce(4).withColumn(
+        "payload_hex_sha", F.sha2(F.hex(F.col("payload")), 256)
     )
-    return feats.join(F.broadcast(hexhash), "media_id").select(
+    feats = extract_features(media, passthrough=("payload_hex_sha",))
+    return feats.select(
         "media_id", "kind", "n_bytes", "format", "width", "height",
-        "sample_rate", "duration_ms", "payload_hex_sha",
+        "sample_rate", "duration_ms", "px_sum", "px_min", "px_max",
+        "payload_hex_sha",
     )
 
 
@@ -1805,22 +1817,67 @@ def oracle_sql() -> dict[str, str]:
             for i in range(nbytes)
         )
 
+    # the filtered PNG byte at stream offset i (filter bytes + Sub/Up
+    # deltas), and the unfiltered pixel at flat index j — both pure
+    # integer replays of synth_media's formulas
+    _d_i = (
+        "CASE WHEN i % (pw+1) = 0 THEN"
+        " (CASE WHEN i // (pw+1) = 0 THEN 0"
+        " WHEN (i // (pw+1)) % 2 = 1 THEN 1 ELSE 2 END)"
+        " WHEN i // (pw+1) = 0 THEN"
+        " (media_id*31 + (i % (pw+1) - 1)*13) % 256"
+        " WHEN (i // (pw+1)) % 2 = 1 THEN"
+        " (CASE WHEN i % (pw+1) = 1 THEN (media_id*31 + (i // (pw+1))*7) % 256"
+        " ELSE 13 END)"
+        " ELSE 7 END"
+    )
+    _px_j = "(media_id*31 + (j // pw)*7 + (j % pw)*13) % 256"
     multimodal = f"""
         WITH base AS (
           SELECT range AS media_id,
                  16 + (range * 7) % 240 AS w,
                  16 + (range * 11) % 240 AS h,
+                 2 + (range * 7) % 14 AS pw,
+                 2 + (range * 11) % 13 AS ph,
                  8000 + (range % 5) * 4000 AS rate,
                  1 + range % 2 AS ch,
                  (range % 50 + 1) * 1000 AS ds
           FROM range(200)
+        ), png AS (
+          SELECT media_id, pw, ph, ph * (pw + 1) AS n_raw,
+            array_to_string(list_transform(generate_series(0, ph - 1), y ->
+              CASE WHEN y = 0 THEN
+                     '00' || array_to_string(list_transform(
+                       generate_series(0, pw - 1),
+                       x -> lpad(hex((media_id*31 + y*7 + x*13) % 256), 2, '0')), '')
+                   WHEN y % 2 = 1 THEN
+                     '01' || lpad(hex((media_id*31 + y*7) % 256), 2, '0')
+                     || repeat('0D', CAST(pw - 1 AS INTEGER))
+                   ELSE '02' || repeat('07', CAST(pw AS INTEGER)) END), '') AS raw_hex,
+            list_sum(list_transform(generate_series(0, ph*(pw+1) - 1),
+              i -> {_d_i})) AS s1,
+            list_sum(list_transform(generate_series(0, ph*(pw+1) - 1),
+              i -> (ph*(pw+1) - i) * ({_d_i}))) AS sw,
+            list_sum(list_transform(generate_series(0, pw*ph - 1),
+              j -> {_px_j})) AS px_sum,
+            list_aggregate(list_transform(generate_series(0, pw*ph - 1),
+              j -> {_px_j}), 'min') AS px_min,
+            list_aggregate(list_transform(generate_series(0, pw*ph - 1),
+              j -> {_px_j}), 'max') AS px_max
+          FROM base WHERE media_id % 3 = 0 AND (media_id // 3) % 2 = 0
         ), hx AS (
-          SELECT *,
+          SELECT b.*, p.px_sum, p.px_min, p.px_max,
             CASE
               WHEN media_id % 3 = 0 AND (media_id // 3) % 2 = 0 THEN
-                '89504E470D0A1A0A0000000D49484452'
-                || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
-                || '080600000000000000'
+                '89504E470D0A1A0A' || '0000000D49484452'
+                || lpad(hex(p.pw), 8, '0') || lpad(hex(p.ph), 8, '0')
+                || '080000000000000000'
+                || lpad(hex(p.n_raw + 11), 8, '0') || '49444154' || '780101'
+                || {_le('p.n_raw', 2)} || {_le('65535 - p.n_raw', 2)}
+                || p.raw_hex
+                || lpad(hex(((p.n_raw + p.sw) % 65521) * 65536
+                            + (1 + p.s1) % 65521), 8, '0')
+                || '00000000' || '0000000049454E44AE426082'
               WHEN media_id % 3 = 0 THEN
                 'FFD8FFC0001108' || lpad(hex(h), 4, '0')
                 || lpad(hex(w), 4, '0') || '03' || repeat('00', 9) || 'FFD9'
@@ -1831,7 +1888,7 @@ def oracle_sql() -> dict[str, str]:
                 || '1000' || '64617461' || {_le('ds', 4)}
               ELSE upper(sha256('42' || CAST(media_id AS VARCHAR)))
             END AS hexstr
-          FROM base
+          FROM base b LEFT JOIN png p USING (media_id)
         )
         SELECT media_id,
                CASE CAST(media_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -1840,11 +1897,18 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN media_id % 3 = 0 AND (media_id // 3) % 2 = 0 THEN 'png'
                     WHEN media_id % 3 = 0 THEN 'jpeg'
                     WHEN media_id % 3 = 1 THEN 'wav' END AS format,
-               CASE WHEN media_id % 3 = 0 THEN CAST(w AS INTEGER) END AS width,
-               CASE WHEN media_id % 3 = 0 THEN CAST(h AS INTEGER) END AS height,
+               CASE WHEN media_id % 3 = 0 AND (media_id // 3) % 2 = 0
+                    THEN CAST(pw AS INTEGER)
+                    WHEN media_id % 3 = 0 THEN CAST(w AS INTEGER) END AS width,
+               CASE WHEN media_id % 3 = 0 AND (media_id // 3) % 2 = 0
+                    THEN CAST(ph AS INTEGER)
+                    WHEN media_id % 3 = 0 THEN CAST(h AS INTEGER) END AS height,
                CASE WHEN media_id % 3 = 1 THEN CAST(rate AS INTEGER) END AS sample_rate,
                CASE WHEN media_id % 3 = 1
                     THEN CAST((ds * 1000) // (rate * ch * 2) AS BIGINT) END AS duration_ms,
+               CAST(px_sum AS BIGINT) AS px_sum,
+               CAST(px_min AS INTEGER) AS px_min,
+               CAST(px_max AS INTEGER) AS px_max,
                sha256(hexstr) AS payload_hex_sha
         FROM hx
     """
@@ -2092,9 +2156,11 @@ WITH v AS (
   SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
 )
 SELECT vec_id,
-       CASE WHEN maxabs > 0
-            THEN list_transform(e, x -> CAST(floor(x * 127 / maxabs) AS INTEGER))
-            ELSE list_transform(e, x -> CAST(0 AS INTEGER)) END AS q,
+       array_to_string(
+         CASE WHEN maxabs > 0
+              THEN list_transform(e, x -> CAST(floor(x * 127 / maxabs) AS INTEGER))
+              ELSE list_transform(e, x -> CAST(0 AS INTEGER)) END,
+         ',') AS q_csv,
        CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_micro
 FROM m
 """,

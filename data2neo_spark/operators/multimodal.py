@@ -42,17 +42,155 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType()),
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("duration_ms", T.LongType()),
+    T.StructField("px_sum", T.LongType()),        # PNG pixel decode (real)
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """PIXEL decode requires PIL/libjpeg — not in this container. Header
-    metadata does not need it: see :func:`parse_header`."""
-    raise NotImplementedError(
-        "image decode requires an imaging library; use fake_feature=True "
-        "for the deterministic test path"
-    )
+def decode_image(payload: bytes):
+    """Decode a PNG payload to raw pixels — pure stdlib (zlib inflate +
+    RFC 2083 per-scanline unfilter), no native imaging library.
+
+    Returns ``(width, height, channels, bytes)`` where ``bytes`` is the
+    row-major, channel-interleaved 8-bit pixel buffer. Raises
+    ``ValueError`` for non-PNG payloads and for PNG features this decoder
+    does not cover (bit depth != 8, palette, interlace). JPEG entropy
+    decode genuinely needs libjpeg-class native code and stays
+    unsupported here.
+    """
+    pixels = decode_png_pixels(payload)
+    if pixels is None:
+        raise ValueError(
+            "decode_image: payload is not a PNG; JPEG/other pixel decode "
+            "requires a native imaging library not shipped in this "
+            "container (headers parse fine via parse_header)"
+        )
+    return pixels
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale, RGB, grey+A, RGBA
+
+
+def decode_png_pixels(b: bytes):
+    """Pure-python PNG pixel decode: chunk walk → zlib inflate of the
+    concatenated IDAT stream → per-scanline unfilter (all five RFC 2083
+    filter types: None/Sub/Up/Average/Paeth).
+
+    Returns ``(width, height, channels, pixel_bytes)`` or ``None`` if the
+    payload is not a PNG. Supports the non-interlaced 8-bit-depth color
+    types (greyscale / RGB / grey+alpha / RGBA); raises ``ValueError``
+    on palette, 1/2/4/16-bit depths, or interlaced images. Chunk CRCs
+    are not verified (the zlib adler32 already covers the pixel data).
+    """
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        clen = _be(b, i, 4)
+        ctype = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + clen]
+        if ctype == b"IHDR":
+            if clen < 13:
+                raise ValueError("PNG: truncated IHDR")
+            width, height = _be(data, 0, 4), _be(data, 4, 4)
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + CRC (CRC not verified)
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if not idat:
+        raise ValueError("PNG: no IDAT data (header-only payload)")
+    if bit_depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {bit_depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unsupported color type {color_type}")
+    if interlace != 0:
+        raise ValueError("PNG: interlaced images unsupported")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG: raw stream is {len(raw)} bytes, expected "
+            f"{height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        prev_off = (y - 1) * stride
+        if f == 0:                      # None
+            pass
+        elif f == 1:                    # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:                    # Up
+            if y > 0:
+                for x in range(stride):
+                    line[x] = (line[x] + out[prev_off + x]) & 0xFF
+        elif f == 3:                    # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up = out[prev_off + x] if y > 0 else 0
+                line[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:                    # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c_up = out[prev_off + x] if y > 0 else 0
+                c_ul = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + c_up - c_ul
+                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = c_up
+                else:
+                    pred = c_ul
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
+        out[y * stride:(y + 1) * stride] = line
+    return width, height, channels, bytes(out)
+
+
+def pixel_stats(b: bytes):
+    """Pixel-level statistics of a decodable PNG payload: dict with
+    ``n_px`` (pixel count), ``px_sum``/``px_min``/``px_max`` (over all
+    channel bytes) and ``channel_means`` (per-channel float means).
+    Returns ``None`` when the payload is not a PNG or carries no pixel
+    data (header-only synth rows, JPEG, WAV, opaque)."""
+    try:
+        decoded = decode_png_pixels(b)
+    except ValueError:
+        return None
+    if decoded is None:
+        return None
+    w, h, ch, px = decoded
+    if not px:
+        return None
+    sums = [0] * ch
+    for i, v in enumerate(px):
+        sums[i % ch] += v
+    n_px = w * h
+    return {
+        "n_px": n_px,
+        "px_sum": sum(sums),
+        "px_min": min(px),
+        "px_max": max(px),
+        "channel_means": [s / n_px for s in sums],
+    }
 
 
 def _be(b: bytes, off: int, n: int) -> int:
@@ -151,22 +289,40 @@ def _fake_feature(payload: bytes, dim: int = 8):
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, fake_feature: bool = True
+    media: DataFrame, dim: int = 8, fake_feature: bool = True,
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """mapInPandas feature + header extraction over binary payloads.
+    """mapInPandas feature + header + pixel extraction over binary payloads.
 
     Arrow moves the binary column in batches; per-batch python parses the
-    REAL container headers (PNG/JPEG/WAV — :func:`parse_header`) and
-    computes the feature vector. Header metadata is genuine; only the
-    pixel/sample decode behind the feature is stubbed (``fake_feature``) —
-    the batch shape, schema, and partitioning are exactly what a real
-    CLIP/whisper extractor would use, swap ``_fake_feature`` for the
-    model call.
+    REAL container headers (PNG/JPEG/WAV — :func:`parse_header`) and,
+    for PNGs carrying IDAT data, runs the REAL pure-stdlib pixel decode
+    (:func:`decode_png_pixels` — zlib inflate + RFC 2083 unfilter) to
+    produce ``px_sum``/``px_min``/``px_max`` over all channel bytes.
+
+    The feature vector: with ``fake_feature=True`` (default) it is the
+    deterministic sha256-seeded stand-in; with ``fake_feature=False`` it
+    is the REAL per-channel pixel means for decodable PNGs and null for
+    payloads whose pixel/sample decode needs native codecs this container
+    does not ship (JPEG entropy decode, compressed audio). The batch
+    shape, schema, and partitioning are exactly what a CLIP/whisper
+    extractor would use — swap the feature expression for the model call.
+
+    ``passthrough`` names input columns copied verbatim to the output
+    (appended after the feature columns) — carrying ids/URLs/precomputed
+    hashes through the extractor without a re-join against the source
+    frame (which would compile and scan the payload-synthesis plan twice).
     """
-    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+    schema = T.StructType(
+        list(FEATURE_SCHEMA.fields)
+        + [media.schema[c] for c in passthrough]
+    )
+    out_cols = [f.name for f in schema.fields]
+    extra = list(passthrough)
     feat_dim = dim
     do_fake = fake_feature
     parse = parse_header
+    stats = pixel_stats
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -176,16 +332,17 @@ def extract_features(
             out = []
             for rec in pdf.to_dict("records"):
                 payload = rec["payload"] or b""
-                if not do_fake:
-                    raise NotImplementedError(
-                        "pixel/sample decode requires an imaging/audio "
-                        "library; use fake_feature=True for the "
-                        "deterministic test path (headers parse either way)"
-                    )
                 hdr = parse(payload)
+                px = stats(payload) if hdr["format"] == "png" else None
                 # sha256: oracle-reproducible (DuckDB has sha256, not sha1)
                 digest = _hashlib.sha256(payload).digest()
-                out.append({
+                if do_fake:
+                    feature = [b / 255.0 for b in digest[:feat_dim]]
+                elif px is not None:
+                    feature = [float(m) / 255.0 for m in px["channel_means"]]
+                else:
+                    feature = None
+                row = {
                     "media_id": rec["media_id"],
                     "kind": rec["kind"],
                     "n_bytes": len(payload),
@@ -195,11 +352,17 @@ def extract_features(
                     "height": hdr["height"],
                     "sample_rate": hdr["sample_rate"],
                     "duration_ms": hdr["duration_ms"],
-                    "feature": [b / 255.0 for b in digest[:feat_dim]],
-                })
+                    "px_sum": px["px_sum"] if px else None,
+                    "px_min": px["px_min"] if px else None,
+                    "px_max": px["px_max"] if px else None,
+                    "feature": feature,
+                }
+                for c in extra:
+                    row[c] = rec[c]
+                out.append(row)
             yield _pd.DataFrame(out, columns=out_cols)
 
-    return media.mapInPandas(_run, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(_run, schema=schema)
 
 
 def _hx(col, digits: int):
@@ -228,8 +391,13 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     per media_id with the same arithmetic and verifies byte length,
     parsed dimensions, and a hash of the exact bytes:
 
-    * ``image`` rows alternate a minimal PNG (IHDR with formula-derived
-      width/height) and a minimal JPEG (SOF0 frame header);
+    * ``image`` rows alternate a COMPLETE greyscale PNG — IHDR with small
+      formula-derived dimensions plus an IDAT whose zlib stream is a
+      stored (uncompressed) deflate block with a genuine adler32 computed
+      as an integer aggregate, scanlines exercising the None/Sub/Up
+      filters (chunk CRCs are zero placeholders; the pixel data is
+      covered by the adler32, which :func:`decode_png_pixels` verifies
+      via ``zlib.decompress``) — and a minimal JPEG (SOF0 frame header);
     * ``audio`` rows are a 44-byte WAV header (RIFF/fmt/data) with
       formula-derived sample rate / channels / declared data size;
     * ``video`` rows are opaque bytes (the sha256 digest of seed‖id) —
@@ -239,10 +407,84 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     mid = F.col("media_id")
     w = (F.lit(16) + (mid * 7) % 240).cast("long")
     h = (F.lit(16) + (mid * 11) % 240).cast("long")
+
+    # --- complete greyscale PNG with real pixel data (small dims) ---
+    pw = (F.lit(2) + (mid * 7) % 14).cast("long")    # 2..15
+    ph = (F.lit(2) + (mid * 11) % 13).cast("long")   # 2..14
+
+    def _px(x, y):
+        """pixel(x, y) = (mid*31 + y*7 + x*13) % 256 — SQL-replayable."""
+        return (mid * 31 + y * 7 + x * 13) % 256
+
+    # scanlines: y=0 filter None (raw pixels), odd y filter Sub (delta of
+    # the pixel formula along x is the constant 13), even y>0 filter Up
+    # (delta along y is the constant 7) — all three unfilter paths real.
+    scan_hex = F.transform(
+        F.sequence(F.lit(0), (ph - 1).cast("int")),
+        lambda y: F.when(
+            y == 0,
+            F.concat(
+                F.lit("00"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), (pw - 1).cast("int")),
+                        lambda x: _hx(_px(x, y), 2),
+                    ),
+                    "",
+                ),
+            ),
+        )
+        .when(
+            y % 2 == 1,
+            F.concat(
+                F.lit("01"), _hx(_px(F.lit(0), y), 2),
+                F.repeat(F.lit("0D"), (pw - 1).cast("int")),
+            ),
+        )
+        .otherwise(F.concat(F.lit("02"), F.repeat(F.lit("07"), pw.cast("int")))),
+    )
+    raw_hex = F.array_join(scan_hex, "")
+    n_raw = ph * (pw + 1)
+
+    def _raw_byte(i):
+        """byte i of the filtered stream, from the same formulas."""
+        y = F.floor(i / (pw + 1))
+        r = i % (pw + 1)
+        x = r - 1
+        return (
+            F.when(r == 0,
+                   F.when(y == 0, F.lit(0))
+                   .when(y % 2 == 1, F.lit(1)).otherwise(F.lit(2)))
+            .when(y == 0, _px(x, y))
+            .when(y % 2 == 1, F.when(x == 0, _px(F.lit(0), y)).otherwise(F.lit(13)))
+            .otherwise(F.lit(7))
+        ).cast("long")
+
+    # adler32 of the raw stream: a = (1+Σd) mod 65521,
+    # b = (n + Σ(n-i)·d_i) mod 65521. Both sums ride ONE long accumulator
+    # (Σd in the low 32 bits, Σ(n-i)·d above — Σd ≤ 57k, Σ(n-i)·d ≤ 13M,
+    # no overlap) so the per-byte CASE appears once in the plan: Spark's
+    # codegen does no CSE across lambda bodies and the doubled expression
+    # tree measurably slows compilation.
+    packed = F.aggregate(
+        F.sequence(F.lit(0), (n_raw - 1).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + _raw_byte(i) * (1 + (n_raw - i) * F.lit(4294967296)),
+    )
+    s1 = packed % F.lit(4294967296)
+    sw = F.floor(packed / F.lit(4294967296))
+    adler = ((n_raw + sw) % 65521) * 65536 + (1 + s1) % 65521
+    zlib_hex = F.concat(
+        F.lit("780101"),                       # zlib hdr + final stored block
+        _le16(n_raw), _le16(F.lit(65535) - n_raw),
+        raw_hex, _hx(adler, 8),
+    )
     png_hex = F.concat(
-        F.lit("89504E470D0A1A0A0000000D49484452"),
-        _hx(w, 8), _hx(h, 8),
-        F.lit("080600000000000000"),
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D49484452"), _hx(pw, 8), _hx(ph, 8),
+        F.lit("080000000000000000"),           # grey/8-bit + CRC placeholder
+        _hx(n_raw + 11, 8), F.lit("49444154"), zlib_hex, F.lit("00000000"),
+        F.lit("0000000049454E44AE426082"),
     )
     jpeg_hex = F.concat(
         F.lit("FFD8FFC0001108"), _hx(h, 4), _hx(w, 4),

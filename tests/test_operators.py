@@ -104,9 +104,20 @@ def test_multimodal_plumbing(spark):
     # formulas; opaque 'video' payloads parse to nulls
     for i, r in by_id.items():
         if i % 3 == 0:
-            assert r["format"] == ("png" if (i // 3) % 2 == 0 else "jpeg")
-            assert r["width"] == 16 + (7 * i) % 240
-            assert r["height"] == 16 + (11 * i) % 240
+            if (i // 3) % 2 == 0:
+                # pixel-bearing PNG: small dims, real decoded stats
+                pw, ph = 2 + (7 * i) % 14, 2 + (11 * i) % 13
+                assert r["format"] == "png"
+                assert (r["width"], r["height"]) == (pw, ph)
+                exp_sum = sum((i * 31 + y * 7 + x * 13) % 256
+                              for y in range(ph) for x in range(pw))
+                assert r["px_sum"] == exp_sum
+                assert 0 <= r["px_min"] <= r["px_max"] <= 255
+            else:
+                assert r["format"] == "jpeg"
+                assert r["width"] == 16 + (7 * i) % 240
+                assert r["height"] == 16 + (11 * i) % 240
+                assert r["px_sum"] is None
         elif i % 3 == 1:
             assert r["format"] == "wav"
             assert r["sample_rate"] == 8000 + (i % 5) * 4000
@@ -118,9 +129,84 @@ def test_multimodal_plumbing(spark):
     again = {r["media_id"]: r["sha256"] for r in
              multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()}
     assert again == {r["media_id"]: r["sha256"] for r in feats}
-    # the pixel-decode path is an explicit stub (headers parse either way)
-    with pytest.raises(Exception):
-        multimodal.extract_features(media, fake_feature=False).collect()
+    # real features: decodable PNGs get per-channel pixel means, payloads
+    # needing native codecs (JPEG/WAV/opaque) get null — no stub raise
+    real = {r["media_id"]: r for r in
+            multimodal.extract_features(media, fake_feature=False).collect()}
+    for i, r in real.items():
+        if i % 3 == 0 and (i // 3) % 2 == 0:
+            assert r["feature"] is not None and len(r["feature"]) == 1
+            assert abs(r["feature"][0] - r["px_sum"] / (r["width"] * r["height"]) / 255.0) < 1e-6
+        else:
+            assert r["feature"] is None
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels handles every RFC 2083 filter type — a 3-channel
+    image is encoded by hand with None/Sub/Up/Average/Paeth (one per
+    scanline) plus real chunk CRCs, then decoded and compared."""
+    import struct
+    import zlib
+
+    w, h, ch = 5, 5, 3
+    pixels = [[(x * 37 + y * 11 + c * 53) % 256 for x in range(w)
+               for c in range(ch)] for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = w * ch
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = pixels[y]
+        prev = pixels[y - 1] if y > 0 else [0] * stride
+        raw.append(ftype)
+        for x in range(stride):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                raw.append(line[x])
+            elif ftype == 1:
+                raw.append((line[x] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((line[x] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((line[x] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((line[x] - paeth(left, up, ul)) & 0xFF)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"  # RGB/8
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    got = multimodal.decode_png_pixels(png)
+    assert got is not None
+    gw, gh, gch, buf = got
+    assert (gw, gh, gch) == (w, h, ch)
+    flat = [v for line in pixels for v in line]
+    assert list(buf) == flat
+    st = multimodal.pixel_stats(png)
+    assert st["n_px"] == w * h and st["px_sum"] == sum(flat)
+    assert st["px_min"] == min(flat) and st["px_max"] == max(flat)
+    assert len(st["channel_means"]) == 3
+    # decode_image is the public alias; non-PNG raises ValueError
+    assert multimodal.decode_image(png)[3] == bytes(flat)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xd9")
+    # header-only PNG (no IDAT) is an explicit error, not a wrong answer
+    hdr_only = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError):
+        multimodal.decode_png_pixels(hdr_only)
+    assert multimodal.pixel_stats(hdr_only) is None
 
 
 def test_header_parsers_on_real_files():
