@@ -593,6 +593,23 @@ def _sim_quantize(spark, sf_dir):
     )
 
 
+def _image_phash(spark, sf_dir):
+    """Perceptual-hash image near-dup: synthetic textured PNGs with
+    planted near-duplicate twins → real pixel decode (stdlib inflate +
+    unfilter) → integer-DCT pHash → pigeonhole Hamming-blocked pairs.
+    The oracle replays the pixel formula, the scaled-integer DCT (same
+    inlined table), the median/bit assembly, and the identical chunk
+    blocking — bit-for-bit."""
+    from data2neo_spark.operators.multimodal import (
+        synth_images, phash_near_duplicates,
+    )
+
+    imgs = synth_images(spark, n=120).coalesce(4)
+    return phash_near_duplicates(imgs, max_hamming=12).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
 def _graph_degree_stats(spark, sf_dir):
     """Hub diagnostic over the Order→Part KG edge list (the A7 salting
     pre-flight, graph twin of corpus_key_skew)."""
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_match": _kg_triples_match,
         "graph_pagerank": _graph_pagerank,
         "multimodal_features": _multimodal_features,
+        "image_phash": _image_phash,
         "dedup_clusters": _dedup_clusters,
     }
 
@@ -1478,6 +1496,64 @@ LEFT JOIN (
   FROM docw w JOIN final f USING (word)
   GROUP BY w.doc_id
 ) s USING (doc_id)
+"""
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of the pHash near-dup query: pixel formula → 8×8
+    nearest-neighbor grid → scaled-integer 2-D DCT (PHASH_DCT_Q inlined)
+    → median bit assembly → the exact pigeonhole chunk blocking of
+    dedup._chunk_bounds — all integer arithmetic, bit-identical."""
+    from data2neo_spark.operators.dedup import _chunk_bounds
+    from data2neo_spark.operators.multimodal import PHASH_BITS, PHASH_DCT_Q
+
+    cq = ",".join(str(v) for row in PHASH_DCT_Q for v in row)
+    max_hamming = 12
+    bounds = ",".join(
+        f"({j},{off},{(1 << width) - 1})"
+        for j, (off, width) in enumerate(_chunk_bounds(PHASH_BITS, max_hamming + 1))
+    )
+    # grid[u][v] = pixel(x=2u, y=2v) of the 16×16 synth image (size//8 = 2)
+    pixel = (
+        "((pair*37 + (2*(uv//8))*11 + (2*(uv%8))*17"
+        " + (((2*(uv//8))*(2*(uv%8)) + pair) % 5)*23) % 256"
+        " + CASE WHEN media_id % 2 = 1"
+        " AND ((2*(uv//8)) + (2*(uv%8))*16 + pair) % 41 = 0"
+        " THEN 3 ELSE 0 END) % 256"
+    )
+    return f"""
+WITH imgs AS (
+  SELECT range AS media_id, range // 2 AS pair FROM range(120)
+), cqt AS (SELECT [{cq}] AS cq),
+vals AS (
+  SELECT media_id,
+    list_transform(generate_series(0, 63), kl ->
+      list_sum(list_transform(generate_series(0, 63), uv ->
+        cq[(kl//8)*8 + (uv//8) + 1] * cq[(kl%8)*8 + (uv%8) + 1]
+        * ({pixel})
+      ))
+    ) AS v
+  FROM imgs CROSS JOIN cqt
+), med AS (
+  SELECT media_id, v, list_sort(v[2:])[32] AS m FROM vals
+), h AS (
+  SELECT media_id,
+    list_sum(list_transform(generate_series(1, 63), i ->
+      CASE WHEN v[i+1] > m THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END
+    )) AS phash
+  FROM med
+), bounds(j, off, mask) AS (VALUES {bounds}),
+chunks AS (
+  SELECT media_id, phash, j, (phash >> off) & mask AS bucket
+  FROM h CROSS JOIN bounds
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.phash AS pa, b.phash AS pb
+  FROM chunks a JOIN chunks b
+    ON a.j = b.j AND a.bucket = b.bucket AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}
 """
 
 
@@ -2090,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann": sim_ann,
         "sim_ivf": sim_ivf,
         "multimodal_features": multimodal,
+        "image_phash": _phash_oracle_sql(),
         "text_quality": (
             "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_calc, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

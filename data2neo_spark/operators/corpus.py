@@ -42,6 +42,7 @@ def clean_corpus(
     min_frac_alpha_words: Optional[float] = None,
     langid: str = "stopword",
     min_quality_logit: Optional[int] = None,
+    near_max_bucket_size: Optional[int] = 1000,
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, report).
 
@@ -54,6 +55,13 @@ def clean_corpus(
     no join. Near-dedup (MinHash+LSH, verified Jaccard) drops the larger id
     of each near-dup pair — transitively safe because pairs are recomputed
     against the exact-deduped set.
+
+    ``near_max_bucket_size``: the pipeline path keeps the LSH
+    degenerate-bucket guard ON by default (star pairs above the cap) —
+    near-dedup here runs AFTER exact dedup, so a clipped bucket means
+    near-identical-but-not-equal boilerplate, where dropping to the star
+    center is the intended web-scale behavior. Pass ``None`` for exact
+    pairwise semantics on small corpora.
     """
     flagged = with_quality_features(docs, text_col)
     q_ok = (
@@ -118,7 +126,9 @@ def clean_corpus(
     kept = flagged.where(F.col("_keep")).select(*docs.columns)
 
     if near_dedup:
-        pairs = minhash_lsh_duplicates(kept, id_col, text_col, threshold=near_threshold)
+        pairs = minhash_lsh_duplicates(kept, id_col, text_col,
+                                       threshold=near_threshold,
+                                       max_bucket_size=near_max_bucket_size)
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         final = kept.join(drop, id_col, "left_anti")
         drop_n = drop.agg(F.count(F.lit(1)).alias("_nd"))

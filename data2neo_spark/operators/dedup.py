@@ -356,10 +356,13 @@ def _pairs_expr(ids_col: str) -> Column:
 
 def _star_pairs_expr(ids_col: str) -> Column:
     """Star pairs from a sorted id-array: every member paired to the bucket
-    MIN id — O(k) structs instead of O(k²). Sufficient for transitive-
-    cluster semantics: the star keeps the bucket connected, so
-    :func:`duplicate_clusters` recovers exactly the same components as the
-    all-pairs emission; only the non-star pairwise edges are dropped."""
+    MIN id — O(k) structs instead of O(k²). At the CANDIDATE stage the
+    star keeps the bucket connected, so :func:`duplicate_clusters` over
+    the raw candidates recovers exactly the same components as all-pairs
+    emission. After a verification filter (Jaccard/Hamming threshold) the
+    equivalence no longer holds: a star edge can fail the threshold where
+    member-to-member edges would have passed, splitting a true cluster —
+    which is why the verified-pair APIs leave the cap opt-in."""
     ids = F.col(ids_col)
     return F.transform(
         F.slice(ids, 2, F.size(ids)),
@@ -439,9 +442,17 @@ def minhash_lsh_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket_size: Optional[int] = 1000,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
-    """Candidates from LSH, verified with exact Jaccard ≥ threshold."""
+    """Candidates from LSH, verified with exact Jaccard ≥ threshold.
+
+    ``max_bucket_size`` defaults to ``None`` here (unlike the candidate
+    API): in a VERIFIED output, star-pairing a clipped bucket can drop
+    member-to-member edges that would pass the threshold while the star
+    edges fail it, silently splitting true clusters. Web-scale corpora
+    with degenerate boilerplate buckets should pass an explicit cap (and
+    ideally exact-dedup first) — the clipping is then observable via
+    :func:`minhash_lsh_candidates`' ``observation`` hook."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                   shingle_n, max_bucket_size)
     return _verified_jaccard(df, cand.select("id_a", "id_b"), id_col,
@@ -497,35 +508,60 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = 60,
-    max_bucket_size: Optional[int] = 1000,
+    max_bucket_size: Optional[int] = None,
     observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
+    Signature = :func:`simhash`; blocking/verification =
+    :func:`hamming_near_duplicates` (pigeonhole chunks, exact recall).
+    ``max_bucket_size`` is opt-in here (None): in a verified output,
+    star-pairing a clipped bucket can split true clusters (star edges may
+    exceed ``max_hamming`` where member edges don't) — web-scale callers
+    with boilerplate buckets should pass an explicit cap and an
+    ``observation`` to surface the clipping."""
+    sh = simhash(df, id_col, text_col, bits)
+    return hamming_near_duplicates(
+        sh, id_col, "simhash", max_hamming=max_hamming, bits=bits,
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+
+
+def hamming_near_duplicates(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    max_bucket_size: Optional[int] = None,
+    observation: Optional[Observation] = None,
+) -> DataFrame:
+    """Pairs of rows whose ``hash_col`` values differ in ≤ ``max_hamming``
+    bits — the generic Hamming-blocked join behind SimHash text near-dup
+    and pHash image near-dup.
+
     Blocking: ``max_hamming + 1`` chunks — by pigeonhole, two hashes with
     ≤ max_hamming differing bits MUST agree on at least one chunk, so recall
     is exact while candidates join per chunk bucket instead of all-pairs.
-    (The old fixed 4×16-bit blocking silently lost recall for
+    (A fixed 4×16-bit blocking would silently lose recall for
     max_hamming > 3.) Wider max_hamming ⇒ narrower chunks ⇒ hotter buckets:
     at extreme corpus sizes raise ``bits`` rather than max_hamming.
 
     ``max_bucket_size``: degenerate-bucket guard — a bucket above the cap
     emits star pairs to its min id (O(k) structs per row instead of O(k²)),
-    so a 10⁵-doc boilerplate cluster cannot OOM a task. Star pairs keep the
-    bucket connected, so :func:`duplicate_clusters` over the output yields
-    identical components; only the non-star pairwise hamming rows (and
-    star pairs whose true hamming exceeds ``max_hamming`` — members of a
-    clipped bucket may be further apart than the star center) are affected.
-    Pass ``observation`` to surface ``clipped_buckets`` / ``max_bucket``
-    with the job (no-silent-caps)."""
+    so a 10⁵-doc boilerplate cluster cannot OOM a task. The cap preserves
+    connected components only at the candidate stage; after the
+    ``hamming ≤ max_hamming`` filter below, star edges may drop true
+    clusters' internal edges — hence the opt-in default. Pass
+    ``observation`` to surface ``clipped_buckets`` / ``max_bucket`` with
+    the job (no-silent-caps)."""
     n_chunks = max_hamming + 1
-    sh = simhash(df, id_col, text_col, bits)
-    chunks = sh.select(
+    chunks = sig.select(
         F.col(id_col),
-        "simhash",
+        hash_col,
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                F.shiftrightunsigned(F.col(hash_col), off).bitwiseAND(
                     F.lit((1 << width) - 1)
                 )
                 for off, width in _chunk_bounds(bits, n_chunks)
@@ -540,7 +576,7 @@ def simhash_near_duplicates(
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                    F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("s"))
                 )
             ).alias("_m")
         )

@@ -527,3 +527,171 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         F.unhex(hex_expr).alias("payload"),
         mime.alias("mime"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) — image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+# DCT-II basis scaled to integers: round(cos(pi*(2n+1)*k/16) * 4096).
+# An integer table makes the hash bit-identical across engines (the DuckDB
+# oracle inlines the same constants) — float DCT would be summation-order
+# sensitive.
+PHASH_DCT_Q = (
+    (4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    (1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    (799, -2276, 3406, -4017, 4017, -3406, 2276, -799),
+)
+
+PHASH_BITS = 63  # 8×8 DCT block minus the DC term — fits a signed long
+
+
+def phash_py(width: int, height: int, channels: int, pixels: bytes) -> int:
+    """63-bit perceptual hash of a decoded pixel buffer (pure integers).
+
+    8×8 greyscale grid sampled nearest-neighbor (gray = floor-mean of the
+    channel bytes), 2-D integer DCT with :data:`PHASH_DCT_Q`, then one bit
+    per non-DC coefficient: 1 iff the coefficient exceeds the median of
+    the 63 non-DC values (median = exact middle element — 63 is odd, no
+    interpolation). Every step is integer arithmetic, so the DuckDB
+    oracle replays it bit-for-bit."""
+    grid = [[0] * 8 for _ in range(8)]
+    for v in range(8):
+        y = (v * height) // 8
+        for u in range(8):
+            x = (u * width) // 8
+            off = (y * width + x) * channels
+            grid[u][v] = sum(pixels[off:off + channels]) // channels
+    vals = []
+    for k in range(8):
+        ck = PHASH_DCT_Q[k]
+        for l in range(8):
+            cl = PHASH_DCT_Q[l]
+            vals.append(sum(
+                ck[u] * cl[v] * grid[u][v] for u in range(8) for v in range(8)
+            ))
+    med = sorted(vals[1:])[31]
+    h = 0
+    for i in range(1, 64):
+        if vals[i] > med:
+            h |= 1 << (i - 1)
+    return h
+
+
+def with_phash(media: DataFrame) -> DataFrame:
+    """(media_id, kind, phash) — pHash over every decodable PNG payload
+    via Arrow ``mapInPandas`` (decode + hash are per-row python over
+    batched binary columns; payloads needing native codecs get null)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                payload = rec["payload"] or b""
+                try:
+                    decoded = decode_png_pixels(payload)
+                except ValueError:
+                    decoded = None
+                ph = phash_py(*decoded) if decoded else None
+                out.append({"media_id": rec["media_id"],
+                            "kind": rec["kind"], "phash": ph})
+            yield _pd.DataFrame(out, columns=["media_id", "kind", "phash"])
+
+    return media.mapInPandas(_run, schema=schema)
+
+
+def phash_near_duplicates(
+    media: DataFrame, max_hamming: int = 12, max_bucket_size=None,
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate image pairs: pHash signatures + the same pigeonhole
+    Hamming-blocked join SimHash text dedup uses (exact recall, one
+    groupBy — never all-pairs). Non-decodable payloads drop out before
+    the join. Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_near_duplicates
+
+    sig = with_phash(media).where(F.col("phash").isNotNull())
+    return hamming_near_duplicates(
+        sig, "media_id", "phash", max_hamming=max_hamming, bits=PHASH_BITS,
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+
+
+def synth_images(spark, n: int = 120, size: int = 16) -> DataFrame:
+    """Deterministic textured greyscale PNGs with PLANTED near-duplicates:
+    media_ids 2k and 2k+1 share base pixels (keyed by pair = id//2) and
+    the odd twin adds +3 to a sparse pixel subset — a genuine
+    perceptual-near-dup, while different pairs draw different textures.
+
+    Same verifiable construction as :func:`synth_media`: payload hex is
+    pure integer Column arithmetic (stored-deflate IDAT + real adler32,
+    filter-0 scanlines), so the DuckDB oracle rebuilds the identical
+    bytes AND replays the pixel formula into the same pHash."""
+    rows = spark.range(n).select(F.col("id").alias("media_id"))
+    mid = F.col("media_id")
+    pair = F.floor(mid / 2)
+    w = h = size
+
+    def _px(x, y):
+        base = (pair * 37 + x * 11 + y * 17 + ((x * y + pair) % 5) * 23) % 256
+        bump = F.when(
+            (mid % 2 == 1) & ((x + y * w + pair) % 41 == 0), F.lit(3)
+        ).otherwise(F.lit(0))
+        return (base + bump) % 256
+
+    raw_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(h - 1)),
+            lambda y: F.concat(
+                F.lit("00"),
+                F.array_join(
+                    F.transform(F.sequence(F.lit(0), F.lit(w - 1)),
+                                lambda x: _hx(_px(x, y), 2)),
+                    "",
+                ),
+            ),
+        ),
+        "",
+    )
+    n_raw = h * (w + 1)
+
+    def _raw_byte(i):
+        y = F.floor(i / (w + 1))
+        r = i % (w + 1)
+        return F.when(r == 0, F.lit(0)).otherwise(_px(r - 1, y)).cast("long")
+
+    packed = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_raw - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + _raw_byte(i) * (1 + (n_raw - i) * F.lit(4294967296)),
+    )
+    s1 = packed % F.lit(4294967296)
+    sw = F.floor(packed / F.lit(4294967296))
+    adler = ((n_raw + sw) % 65521) * 65536 + (1 + s1) % 65521
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D49484452"), _hx(F.lit(w), 8), _hx(F.lit(h), 8),
+        F.lit("080000000000000000"),
+        _hx(F.lit(n_raw + 11), 8), F.lit("49444154"), F.lit("780101"),
+        _le16(F.lit(n_raw)), _le16(F.lit(65535 - n_raw)),
+        raw_hex, _hx(adler, 8), F.lit("00000000"),
+        F.lit("0000000049454E44AE426082"),
+    )
+    return rows.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.unhex(png_hex).alias("payload"),
+        F.lit("image/png").alias("mime"),
+    )

@@ -1016,3 +1016,42 @@ def test_normalize_text(spark):
     # idempotent
     df2 = spark.createDataFrame(pd.DataFrame({"i": [0], "text": [got[0]]}))
     assert normalize_text(df2).collect()[0]["text_norm"] == got[0]
+
+
+def test_phash_near_duplicates(spark):
+    """Planted twins (same texture, sparse +3 perturbation) land within a
+    small Hamming distance; unrelated textures stay far — and the blocked
+    join finds exactly the brute-force answer (pigeonhole recall)."""
+    imgs = multimodal.synth_images(spark, n=40).coalesce(2)
+    sig = {r["media_id"]: r["phash"]
+           for r in multimodal.with_phash(imgs).collect()}
+    assert len(sig) == 40 and all(v is not None for v in sig.values())
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for k in range(20):
+        assert ham(sig[2 * k], sig[2 * k + 1]) <= 4
+    brute = {(a, b) for a in sig for b in sig
+             if a < b and ham(sig[a], sig[b]) <= 12}
+    got = {(r["id_a"], r["id_b"])
+           for r in multimodal.phash_near_duplicates(imgs, max_hamming=12).collect()}
+    assert got == brute
+    assert all((2 * k, 2 * k + 1) in got for k in range(20))
+
+
+def test_phash_python_reference():
+    """phash_py is invariant to constant brightness shifts that don't wrap
+    (AC coefficients unchanged) and sensitive to texture changes."""
+    w = h = 16
+    base = bytes((x * 11 + y * 17 + ((x * y) % 5) * 23) % 200
+                 for y in range(h) for x in range(w))
+    shifted = bytes(v + 40 for v in base)            # no wraparound
+    other = bytes((x * 5 + y * 29 + ((x + y) % 7) * 31) % 200
+                  for y in range(h) for x in range(w))
+    h0 = multimodal.phash_py(w, h, 1, base)
+    h1 = multimodal.phash_py(w, h, 1, shifted)
+    h2 = multimodal.phash_py(w, h, 1, other)
+    assert h0 == h1                                   # brightness-invariant
+    assert bin(h0 ^ h2).count("1") > 8                # texture-sensitive
+    assert 0 <= h0 < (1 << 63)
