@@ -101,6 +101,58 @@ def default_merges() -> Tuple[Tuple[str, str], ...]:
     return tuple(train_merges(SEED_CORPUS, N_MERGES))
 
 
+def load_merges_file(path: str) -> List[Tuple[str, str]]:
+    """Load a merges table from the standard GPT-2 ``merges.txt`` format:
+    optional ``#version`` header lines, then one ``left right`` pair per
+    line in rank order. Real pipelines budget in a PUBLISHED tokenizer's
+    tokens — this accepts any such file (no network involved) and feeds
+    the same encoder as the embedded seed merges::
+
+        merges = load_merges_file("/path/to/merges.txt")
+        with_bpe_token_count(docs, merges=merges)
+
+    Note the pre-tokenization contract: this module splits on whitespace
+    and merges over raw character sequences. A byte-level merges file
+    (GPT-2's own, with its Ġ-remapped alphabet) loads fine, but matching
+    its token counts exactly would additionally need the byte→unicode
+    remap and regex pre-splitter applied to the input text."""
+    merges: List[Tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"load_merges_file: expected 'left right' per line, "
+                    f"got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
+def save_merges_file(merges, path: str) -> None:
+    """Write a merges table in GPT-2 ``merges.txt`` format (rank order)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for l, r in merges:
+            fh.write(f"{l} {r}\n")
+
+
+def merges_from_dataframe(
+    df: DataFrame, left_col: str = "l", right_col: str = "r",
+    rank_col: str = "rank",
+) -> List[Tuple[str, str]]:
+    """Merges table from a DataFrame of (left, right, rank) — e.g. a
+    vocabulary shipped as a parquet table next to the corpus. The collect
+    is bounded by vocabulary size (tens of thousands of rows), driver-side
+    by design: the ranks dict is broadcast into the Arrow UDF closure."""
+    rows = df.select(left_col, right_col, rank_col).collect()
+    rows.sort(key=lambda r: r[rank_col])
+    return [(r[left_col], r[right_col]) for r in rows]
+
+
 def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
     """Greedy BPE encode of one word: repeatedly merge the leftmost
     occurrence of the best-rank adjacent pair (see module docstring for

@@ -100,3 +100,47 @@ def test_chunk_documents_bpe_packing(spark):
     for a, b in zip(rows, rows[1:]):
         nxt = len(bpe.encode_word(b["chunk_text"].split(" ")[0], ranks))
         assert a["n_tokens"] + nxt > 10
+
+
+def test_external_merges_file_roundtrip(tmp_path):
+    """GPT-2-format merges.txt roundtrip: saved ranks reload identically
+    and the encoder produces the same tokenization from the file as from
+    the in-memory table."""
+    path = str(tmp_path / "merges.txt")
+    bpe.save_merges_file(bpe.default_merges(), path)
+    with open(path) as fh:
+        assert fh.readline().startswith("#version")
+    loaded = bpe.load_merges_file(path)
+    assert loaded == list(bpe.default_merges())
+    ranks = {p: i for i, p in enumerate(loaded)}
+    for w in ["the", "window", "stream", "zzqx"]:
+        assert bpe.encode_word(w, ranks) == bpe.encode_word(
+            w, {p: i for i, p in enumerate(bpe.default_merges())}
+        )
+
+
+def test_external_merges_change_tokenization(spark, tmp_path):
+    """A user-supplied merges file (not the embedded seed) drives the
+    Spark counting path: a vocabulary that merges 'a'+'b' tokenizes
+    'ababab' differently from the default."""
+    path = str(tmp_path / "custom.txt")
+    bpe.save_merges_file([("a", "b"), ("ab", "ab")], path)
+    merges = tuple(bpe.load_merges_file(path))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["ababab xyz"]})
+    )
+    got = bpe.with_bpe_token_count(df, merges=merges).collect()[0]
+    # ababab -> ab ab ab -> abab ab = 2 tokens; xyz stays 3 singles
+    assert got["bpe_tokens"] == 2 + 3
+    default = bpe.with_bpe_token_count(df).collect()[0]
+    assert default["bpe_tokens"] != got["bpe_tokens"]
+
+
+def test_merges_from_dataframe(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"l": ["t", "th"], "r": ["h", "e"], "rank": [0, 1]})
+    )
+    merges = bpe.merges_from_dataframe(df)
+    assert merges == [("t", "h"), ("th", "e")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe.encode_word("the", ranks) == ["the"]
