@@ -575,6 +575,36 @@ def _dedup_incremental(spark, sf_dir):
     )
 
 
+def _dedup_incremental_store(spark, sf_dir):
+    """The daily-crawl growth path WITH the persistent signature store:
+    the corpus side's band signatures are computed once, WRITTEN to a
+    parquet store, read back, and passed as ``corpus_bands`` — the
+    corpus signature pipeline never re-runs at query time. Candidates
+    (and thus verified pairs) must be hash-identical to inline banding,
+    which the shared oracle replays at these parameters (32×8)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data2neo_spark.operators.dedup import (
+        band_signatures, incremental_near_duplicates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    base = tempfile.mkdtemp(prefix="d2s_sigstore_")
+    atexit.register(shutil.rmtree, base, True)
+    band_signatures(
+        corpus, "doc_id", num_hashes=32, bands=8
+    ).write.mode("overwrite").parquet(base + "/bands")
+    stored = spark.read.parquet(base + "/bands")
+    return incremental_near_duplicates(
+        new, corpus, "doc_id", threshold=0.2, num_hashes=32, bands=8,
+        corpus_bands=stored,
+    )
+
+
 def _sim_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column (ANN
     serving/storage path); floor() on IEEE doubles is deterministic
@@ -1235,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wrappers": _kg_wrappers,
         "text_langid_v2": _text_langid_v2,
         "dedup_incremental": _dedup_incremental,
+        "dedup_incremental_store": _dedup_incremental_store,
         "dedup_simhash": _dedup_simhash,
         "dedup_minhash": _dedup_minhash,
         "kg_triples_match": _kg_triples_match,
@@ -1497,6 +1528,46 @@ LEFT JOIN (
   GROUP BY w.doc_id
 ) s USING (doc_id)
 """
+
+
+def _incremental_sql(h60_shingle: str, num_hashes: int, rows_per_band: int) -> str:
+    """DuckDB replay of incremental (new×corpus) MinHash dedup for a given
+    hash-family size: odd doc_ids are the new batch, even the corpus, and
+    only odd×even pairs emit. Shared by the inline-banding query and the
+    signature-store query (whose stored frame must candidate-match inline
+    banding bit-for-bit)."""
+    return f"""
+        WITH {_SHINGLE_CTES}, hbase AS (
+            SELECT doc_id, {h60_shingle} % 1073741789 AS h FROM sh
+        ), sig AS (
+            SELECT doc_id, t.i AS i,
+                   min(((((2 * t.i + 1) * 2654435761) % 1073741789) * h
+                        + (((t.i + 12345) * 1103515245) % 1073741789)) % 2147483647) AS v
+            FROM hbase CROSS JOIN range({num_hashes}) t(i)
+            GROUP BY doc_id, t.i
+        ), bandsig AS (
+            SELECT doc_id, i // {rows_per_band} AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS s
+            FROM sig GROUP BY doc_id, i // {rows_per_band}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandsig a
+            JOIN bandsig b ON a.band = b.band AND a.s = b.s
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
+        """
 
 
 def _phash_oracle_sql() -> str:
@@ -2193,38 +2264,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid_v2": _langid_ct_oracle_sql(),
         "text_quality_model": _quality_model_oracle_sql(),
-        "dedup_incremental": f"""
-        WITH {_SHINGLE_CTES}, hbase AS (
-            SELECT doc_id, {h60_shingle} % 1073741789 AS h FROM sh
-        ), sig AS (
-            SELECT doc_id, t.i AS i,
-                   min(((((2 * t.i + 1) * 2654435761) % 1073741789) * h
-                        + (((t.i + 12345) * 1103515245) % 1073741789)) % 2147483647) AS v
-            FROM hbase CROSS JOIN range(64) t(i)
-            GROUP BY doc_id, t.i
-        ), bandsig AS (
-            SELECT doc_id, i // 4 AS band,
-                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS s
-            FROM sig GROUP BY doc_id, i // 4
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bandsig a
-            JOIN bandsig b ON a.band = b.band AND a.s = b.s
-            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        ), inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS inter
-            FROM cand c
-            JOIN sh a ON a.doc_id = c.id_a
-            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
-        """,
+        "dedup_incremental": _incremental_sql(h60_shingle, 64, 4),
+        # the store path replays the SAME algorithm at its own parameters
+        # (32 hashes × 8 bands): the stored (id, band, bucket) frame must
+        # produce hash-identical candidates to banding the corpus inline
+        "dedup_incremental_store": _incremental_sql(h60_shingle, 32, 4),
         "text_normalize": _text_normalize_oracle_sql(),
         "sim_quantize": """
 WITH v AS (

@@ -869,6 +869,28 @@ def _banded_frame(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE MinHash band-signature frame: (id, band, bucket).
+
+    At daily-crawl scale the corpus side of incremental dedup should not
+    re-run its signature pipeline per batch — write this frame once
+    (parquet/catalog, ideally partitioned or bucketed by ``band``), then
+    pass it to :func:`minhash_lsh_candidates_between` /
+    :func:`incremental_near_duplicates` as ``corpus_bands``. After each
+    batch, append the NEW docs' frame (computed here on the batch alone)
+    to the store — the corpus pipeline cost is paid once per document
+    ever, not once per document per day. Buckets are md5-derived from the
+    signature values, so a stored frame is engine- and run-stable."""
+    return _banded_frame(df, id_col, text_col, num_hashes, bands, shingle_n)
+
+
 def minhash_lsh_candidates_between(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -878,6 +900,7 @@ def minhash_lsh_candidates_between(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    corpus_bands: Optional[DataFrame] = None,
 ) -> DataFrame:
     """INCREMENTAL dedup candidates: new-batch documents that share any
     MinHash band bucket with the EXISTING corpus →
@@ -893,11 +916,22 @@ def minhash_lsh_candidates_between(
     then one equi join on (band, bucket) + an explode. No corpus
     self-pairing ever happens here.
 
+    ``corpus_bands``: a PRECOMPUTED (id, band, bucket) frame from
+    :func:`band_signatures` — typically read back from the signature
+    store — replacing the corpus-side signature pipeline entirely. The
+    caller owns parameter consistency: the stored frame must have been
+    built with the same ``num_hashes``/``bands``/``shingle_n``.
+
     Caller contract: the two id spaces must be disjoint."""
     new_banded = _banded_frame(new_docs, id_col, text_col,
                                num_hashes, bands, shingle_n)
-    corpus_banded = _banded_frame(corpus, id_col, text_col,
-                                  num_hashes, bands, shingle_n)
+    if corpus_bands is not None:
+        corpus_banded = corpus_bands.select(
+            F.col(id_col), F.col("band"), F.col("bucket")
+        )
+    else:
+        corpus_banded = _banded_frame(corpus, id_col, text_col,
+                                      num_hashes, bands, shingle_n)
     grouped = corpus_banded.groupBy("band", "bucket").agg(
         F.slice(
             F.array_sort(F.collect_list(F.col(id_col))), 1, max_bucket_size
@@ -922,12 +956,16 @@ def incremental_near_duplicates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    corpus_bands: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cross-frame candidates verified with exact Jaccard ≥ threshold:
-    (id_a = new_id, id_b = corpus_id, jaccard)."""
+    (id_a = new_id, id_b = corpus_id, jaccard). Pass ``corpus_bands``
+    (a stored :func:`band_signatures` frame) to skip the corpus-side
+    signature pipeline — verification still reads corpus TEXT, but only
+    for the candidate pairs."""
     cand = minhash_lsh_candidates_between(
         new_docs, corpus, id_col, text_col, num_hashes, bands, shingle_n,
-        max_bucket_size,
+        max_bucket_size, corpus_bands=corpus_bands,
     ).select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
     both = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)

@@ -8,6 +8,8 @@ import os
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from data2neo_spark import Converter, GraphStore
 
 SCHEMA = """
@@ -94,3 +96,61 @@ def test_incremental_store_reload(spark, tmp_path):
     Converter(SCHEMA, [("t", _df(spark, [3], "v3"))], store=reopened, run_id=2)(spark)
     names = {r["id"]: r["name"] for r in reopened.match_nodes("Item").collect()}
     assert names[3] == "v3-3" and names[2] == "v1-2"
+
+
+def test_signature_store_matches_inline_banding(spark, tmp_path):
+    """incremental dedup via a persisted band_signatures frame returns
+    exactly the pairs inline corpus banding returns — the store is a pure
+    cache, not an approximation."""
+    from data2neo_spark.operators.dedup import (
+        band_signatures, incremental_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inline = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+              incremental_near_duplicates(
+                  new, corpus, "doc_id", threshold=0.2,
+                  num_hashes=32, bands=8).collect()}
+    path = str(tmp_path / "bands")
+    band_signatures(corpus, "doc_id", num_hashes=32, bands=8) \
+        .write.parquet(path)
+    stored = spark.read.parquet(path)
+    via_store = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                 incremental_near_duplicates(
+                     new, corpus, "doc_id", threshold=0.2,
+                     num_hashes=32, bands=8, corpus_bands=stored).collect()}
+    assert via_store == inline and inline
+
+
+def test_signature_store_append_flow(spark, tmp_path):
+    """The daily flow: band the new batch alone, check it against the
+    store, then append its bands — next day's store covers both."""
+    from data2neo_spark.operators.dedup import (
+        band_signatures, minhash_lsh_candidates_between,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    day0 = docs.where(F.col("doc_id") % 3 == 0)
+    day1 = docs.where(F.col("doc_id") % 3 == 1)
+    day2 = docs.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "bands")
+    band_signatures(day0, "doc_id", num_hashes=32, bands=8) \
+        .write.parquet(path)
+    # day1 vs store(day0), then append day1
+    c1 = minhash_lsh_candidates_between(
+        day1, day0, "doc_id", num_hashes=32, bands=8,
+        corpus_bands=spark.read.parquet(path)).collect()
+    band_signatures(day1, "doc_id", num_hashes=32, bands=8) \
+        .write.mode("append").parquet(path)
+    # day2 vs store(day0+day1) equals inline banding of the union
+    got = {(r["new_id"], r["corpus_id"]) for r in
+           minhash_lsh_candidates_between(
+               day2, day0.unionByName(day1), "doc_id", num_hashes=32,
+               bands=8, corpus_bands=spark.read.parquet(path)).collect()}
+    want = {(r["new_id"], r["corpus_id"]) for r in
+            minhash_lsh_candidates_between(
+                day2, day0.unionByName(day1), "doc_id", num_hashes=32,
+                bands=8).collect()}
+    assert got == want
