@@ -857,16 +857,35 @@ def _contamination_check(spark, sf_dir):
 
 
 def _corpus_clean(spark, sf_dir):
-    """Canonical training-data cleaning chain (quality → lang → exact dedup).
+    """Canonical training-data cleaning chain, now end-to-end:
+    url-gate → quality → lang → exact dedup in ONE pass (URLs
+    deterministically synthesized as in web_domain_stats; a 2-domain
+    blocklist inlines as an isin literal — zero extra shuffle).
 
     SQL-expressible configuration so the oracle verifies the kept set."""
     from data2neo_spark.operators.corpus import clean_corpus
 
+    docs = _read(spark, sf_dir, "documents")
+    mid = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://s"), (mid % 7).cast("string"),
+        F.lit(".d"), (mid % 13).cast("string"),
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"), F.lit(".co.uk")),
+            (mid % 3 + 1).cast("int"),
+        ),
+        F.repeat(F.lit("/p"), (mid % 4).cast("int")),
+    )
+    blocklist = spark.createDataFrame(
+        [("d3.com",), ("d5.co.uk",)], "domain string"
+    )
     kept, _report = clean_corpus(
-        _read(spark, sf_dir, "documents"),
+        docs.withColumn("url", url),
         min_words=20,
         keep_langs=["en", "und"],
         near_dedup=False,
+        url_col="url",
+        domain_blocklist=blocklist,
     )
     return kept.select("doc_id", "lang", "n_chars")
 
@@ -2432,6 +2451,11 @@ FROM r GROUP BY 1
         ), filtered AS (
             SELECT *, {_LANG_CASE} AS lang_pred FROM scored
             WHERE n_words >= 20 AND n_words <= 100000 AND digit_ratio <= 0.3
+              AND ('d' || CAST(doc_id % 13 AS VARCHAR)
+                   || CASE CAST(doc_id % 3 AS INTEGER)
+                      WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                      ELSE '.co.uk' END)
+                  NOT IN ('d3.com', 'd5.co.uk')
         ), langed AS (
             SELECT * FROM filtered WHERE lang_pred IN ('en', 'und')
         ), keepers AS (

@@ -43,6 +43,10 @@ def clean_corpus(
     langid: str = "stopword",
     min_quality_logit: Optional[int] = None,
     near_max_bucket_size: Optional[int] = 1000,
+    normalize: bool = False,
+    url_col: Optional[str] = None,
+    domain_blocklist: Optional[DataFrame] = None,
+    blocklist_max_inline: int = 10_000,
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, report).
 
@@ -62,8 +66,51 @@ def clean_corpus(
     near-identical-but-not-equal boilerplate, where dropping to the star
     center is the intended web-scale behavior. Pass ``None`` for exact
     pairwise semantics on small corpora.
+
+    ``normalize=True`` runs :func:`~data2neo_spark.operators.text.
+    normalize_text` FIRST and all downstream gates, dedup hashes, and the
+    returned text operate on the normalized form — the full canonical
+    chain is then normalize → url-gate → quality → lang → exact dedup →
+    near dedup in ONE pass. ``url_col`` + ``domain_blocklist`` add the
+    URL-hygiene gate: rows whose eTLD+1 is blocklisted fail eligibility
+    (size-gated like :func:`~data2neo_spark.operators.web.
+    filter_domain_blocklist`: small lists inline as an isin literal —
+    zero extra shuffle — large ones flag via a join).
     """
+    if normalize:
+        from .text import normalize_text
+
+        docs = (
+            normalize_text(docs, text_col, out_col="_tnorm")
+            .withColumn(text_col, F.col("_tnorm"))
+            .drop("_tnorm")
+        )
     flagged = with_quality_features(docs, text_col)
+    if url_col is not None and domain_blocklist is not None:
+        from ..core.converter import Converter
+        from .web import with_url_parts
+
+        flagged = with_url_parts(flagged, url_col)
+        est = Converter._estimated_bytes(domain_blocklist)
+        small = (est is not None and est <= blocklist_max_inline * 64) or (
+            est is None and domain_blocklist.count() <= blocklist_max_inline
+        )
+        if small:
+            domains = [r[0] for r in domain_blocklist.select("domain").collect()]
+            url_ok = (
+                ~F.col("registered_domain").isin(domains)
+                | F.col("registered_domain").isNull()
+            )
+            flagged = flagged.withColumn("_url_ok", url_ok)
+        else:
+            blk = domain_blocklist.select(
+                F.col("domain").alias("registered_domain"),
+                F.lit(True).alias("_blk"),
+            )
+            flagged = flagged.join(blk, "registered_domain", "left") \
+                .withColumn("_url_ok", F.col("_blk").isNull()).drop("_blk")
+    else:
+        flagged = flagged.withColumn("_url_ok", F.lit(True))
     q_ok = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)
@@ -110,10 +157,12 @@ def clean_corpus(
         else:
             raise ValueError("langid must be 'stopword' or 'ct'")
         flagged = flagged.withColumn(
-            "_elig", F.col("_q_ok") & F.col("lang_pred").isin(keep_langs)
+            "_elig",
+            F.col("_url_ok") & F.col("_q_ok")
+            & F.col("lang_pred").isin(keep_langs),
         )
     else:
-        flagged = flagged.withColumn("_elig", F.col("_q_ok"))
+        flagged = flagged.withColumn("_elig", F.col("_url_ok") & F.col("_q_ok"))
     # exact-dedup keeper: min id among ELIGIBLE rows of each identical-text
     # group; a row survives iff it is its group's keeper
     w = Window.partitionBy(F.md5(F.col(text_col)))
@@ -138,7 +187,8 @@ def clean_corpus(
 
     counts = flagged.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(F.col("_q_ok").cast("long")).alias("n1"),
+        F.sum(F.col("_url_ok").cast("long")).alias("nu"),
+        F.sum((F.col("_url_ok") & F.col("_q_ok")).cast("long")).alias("n1"),
         F.sum(F.col("_elig").cast("long")).alias("n2"),
         F.sum(F.col("_keep").cast("long")).alias("n3"),
     )
@@ -147,7 +197,7 @@ def clean_corpus(
     else:
         counts = counts.withColumn("n4", F.col("n3"))
     report = counts.selectExpr(
-        "stack(4, 'quality', n0, n1, 'langid', n1, n2, "
+        "stack(5, 'url', n0, nu, 'quality', nu, n1, 'langid', n1, n2, "
         "'exact_dedup', n2, n3, 'near_dedup', n3, n4) AS (stage, rows_in, rows_out)"
     )
     return final, report

@@ -610,13 +610,30 @@ def pack_sequences(
     for bid in sorted(totals):
         offsets[bid] = acc
         acc += totals[bid]
-    off = F.lit(0).cast("long")
-    for bid, o in offsets.items():
-        off = F.when(F.col("_b") == bid, F.lit(o).cast("long")).otherwise(off)
     w = Window.partitionBy("_b").orderBy(id_col) \
         .rowsBetween(Window.unboundedPreceding, -1)
     cum_local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    out = b.withColumn("cum_before", off + cum_local)
+    if len(offsets) <= 100:
+        off = F.lit(0).cast("long")
+        for bid, o in offsets.items():
+            off = F.when(F.col("_b") == bid, F.lit(o).cast("long")).otherwise(off)
+        out = b.withColumn("cum_before", off + cum_local)
+    else:
+        # a chained CASE is O(K) expression DEPTH — pathological plan
+        # (analysis + codegen) for n_buckets ≫ 100; a broadcast-joined
+        # (bucket, offset) frame keeps the plan flat and the join
+        # shuffle-free at any K
+        off_df = df.sparkSession.createDataFrame(
+            [(int(bid), int(o)) for bid, o in offsets.items()],
+            "_b long, _boff long",
+        )
+        out = (
+            b.join(F.broadcast(off_df), "_b", "left")
+            .withColumn(
+                "cum_before",
+                F.coalesce(F.col("_boff"), F.lit(0)).cast("long") + cum_local,
+            )
+        )
     seq = ((F.col("cum_before") - F.pmod(F.col("cum_before"), F.lit(budget)))
            / F.lit(budget)).cast("long")
     return (
@@ -625,6 +642,43 @@ def pack_sequences(
                     F.pmod(F.col("cum_before"), F.lit(budget)).cast("long"))
         .select(id_col, "n_tokens", "cum_before", "seq_id", "offset_in_seq")
     )
+
+
+def pack_sequences_by_key(
+    df: DataFrame,
+    key_col: str,
+    budget: int,
+    text_col: str = "text",
+    tokenizer: str = "ws",
+    n_buckets: int = 0,
+    registry=None,
+):
+    """One-call packing for corpora keyed by STRINGS (urls, uuids):
+    registers the keys in an :class:`~data2neo_spark.core.registry.
+    IDRegistry` (sorted assignment — deterministic and SQL-replayable),
+    packs on the surrogate ids, and joins the key back. This is the
+    single 100 TB code path for "pack this crawl by url": pass a
+    path-backed registry to keep ids stable across daily batches (new
+    keys extend monotonically, so packing order of existing docs is
+    reproducible).
+
+    Returns (key, sid, n_tokens, cum_before, seq_id, offset_in_seq) and
+    the registry used (``(DataFrame, IDRegistry)`` tuple) so callers can
+    persist/reuse it."""
+    from ..core.registry import IDRegistry
+
+    reg = registry if registry is not None else IDRegistry(df.sparkSession)
+    reg.register(df.select(F.col(key_col)), key_col)
+    keyed = reg.lookup(df.select(key_col, text_col), key_col)
+    packed = pack_sequences(
+        keyed, "sid", budget, text_col=text_col, tokenizer=tokenizer,
+        n_buckets=n_buckets,
+    )
+    back = reg.table.select(F.col("sid"), F.col("key").alias(key_col))
+    out = packed.join(back, "sid").select(
+        key_col, "sid", "n_tokens", "cum_before", "seq_id", "offset_in_seq"
+    )
+    return out, reg
 
 
 # unicode whitespace class shared with the SQL oracle: \s plus NBSP,

@@ -913,6 +913,24 @@ def test_pack_sequences_invariants(spark):
                for r in got)
 
 
+def test_pack_sequences_many_buckets_flat_plan(spark):
+    """n_buckets ≫ 100 switches the bucket offsets from a chained CASE to
+    a broadcast join: the optimized plan contains no deep CaseWhen chain,
+    and the output is unchanged (bucket-count invariance at K=10⁴)."""
+    from data2neo_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(200),
+        "text": [" ".join(["w"] * (1 + i % 9)) for i in range(200)],
+    }))
+    small = sorted(map(tuple, pack_sequences(docs, "doc_id", 16, n_buckets=4).collect()))
+    big_df = pack_sequences(docs, "doc_id", 16, n_buckets=10_000)
+    plan = big_df._jdf.queryExecution().optimizedPlan().toString()
+    # the offsets arrive via a join, not a 10⁴-deep CASE expression
+    assert plan.count("CASE WHEN") < 100
+    assert sorted(map(tuple, big_df.collect())) == small
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from data2neo_spark.operators.similarity import (
         cosine_topk, quantize_embeddings,
@@ -1055,3 +1073,31 @@ def test_phash_python_reference():
     assert h0 == h1                                   # brightness-invariant
     assert bin(h0 ^ h2).count("1") > 8                # texture-sensitive
     assert 0 <= h0 < (1 << 63)
+
+
+def test_clean_corpus_url_and_normalize(spark):
+    """The extended chain: NFC normalization rewrites text before gates
+    (decomposed é counts as a letter word) and the url gate drops
+    blocklisted eTLD+1 rows; report carries the url stage."""
+    from data2neo_spark.operators.corpus import clean_corpus
+
+    import pandas as pd
+    long_en = "the quick brown fox jumps over the lazy dog and more words here"
+    rows = [
+        (0, long_en, "https://a.good.com/x"),
+        (1, long_en + " extra", "https://b.spam.com/y"),     # blocklisted
+        (2, "café " + long_en, "https://c.good.co.uk/z"),  # NFC target
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "url"]))
+    blk = spark.createDataFrame([("spam.com",)], "domain string")
+    kept, report = clean_corpus(
+        docs, min_words=5, normalize=True, url_col="url",
+        domain_blocklist=blk,
+    )
+    out = {r["doc_id"]: r for r in kept.collect()}
+    assert set(out) == {0, 2}
+    # normalized text comes back composed (single codepoint é)
+    assert "café" in out[2]["text"]
+    rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    assert rep["url"] == (3, 2)

@@ -85,3 +85,41 @@ def test_stale_tmp_dirs_swept_on_init(spark, tmp_path):
     reg2 = IDRegistry(spark, path=p)
     assert not os.path.exists(os.path.join(p, "_tmp_registry_123"))
     assert {r["key"] for r in reg2.table.collect()} == {"x"}
+
+
+def test_pack_sequences_by_key(spark, tmp_path):
+    """String-keyed packing composes registry + pack in one call, keys
+    come back attached, and a path-backed registry keeps ids stable
+    across batches (existing docs' packing inputs unchanged)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data2neo_spark import IDRegistry
+    from data2neo_spark.operators.text import pack_sequences_by_key
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://ex.com/{c}" for c in "dacb"],
+        "text": ["one two", "three", "four five six", "seven"],
+    }))
+    out, reg = pack_sequences_by_key(docs, "url", budget=4)
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == 4
+    # sorted key assignment → packing order is key order: a, b, c, d
+    order = sorted(rows, key=lambda u: rows[u]["sid"])
+    assert order == sorted(rows)
+    cum = 0
+    for u in order:
+        assert rows[u]["cum_before"] == cum
+        cum += rows[u]["n_tokens"]
+    # path-backed: second batch extends ids, first batch's sids stable
+    reg2 = IDRegistry(spark, path=str(tmp_path / "reg"))
+    out1, _ = pack_sequences_by_key(docs, "url", 4, registry=reg2)
+    sids1 = {r["url"]: r["sid"] for r in out1.collect()}
+    more = spark.createDataFrame(pd.DataFrame({
+        "url": ["https://ex.com/zz"], "text": ["eight nine"]}))
+    reg3 = IDRegistry(spark, path=str(tmp_path / "reg"))
+    out2, _ = pack_sequences_by_key(docs.unionByName(more), "url", 4,
+                                    registry=reg3)
+    sids2 = {r["url"]: r["sid"] for r in out2.collect()}
+    assert all(sids2[u] == s for u, s in sids1.items())
+    assert sids2["https://ex.com/zz"] > max(sids1.values())
