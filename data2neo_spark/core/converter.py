@@ -217,7 +217,27 @@ class Converter:
             return None
         return est if 0 <= est < _STATS_UNKNOWN else None
 
+    @staticmethod
+    def _plan_row_count(df: DataFrame) -> Optional[int]:
+        """Optimizer row-count estimate (CBO stats), or None — used to
+        size progress bars without a count job where possible."""
+        try:
+            opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            if opt.isEmpty():
+                return None
+            n = opt.get()
+            return n if isinstance(n, int) else int(n.toString())
+        except Exception:
+            return None
+
     def _resolve_sources(self, spark: SparkSession) -> List[Tuple[str, DataFrame]]:
+        # resolve-once contract: the progress wrapper resolves (and counts)
+        # the sources before _run starts; without this cache a
+        # SQLiteIterator / PandasDataFrameIterator would do a SECOND full
+        # driver-side load
+        cached = getattr(self, "_resolved_cache", None)
+        if cached is not None:
+            return cached
         it = self.iterator
         if isinstance(it, ResourceIterator):
             pairs = it.resolve(spark)
@@ -334,16 +354,21 @@ class Converter:
         tag = f"d2s-progress-{uuid.uuid4().hex[:8]}"
         state = {"group": tag + "-p1", "base": 0, "span": 1}
         pb = None
+        poller = None
         stop_evt = threading.Event()
         try:
-            it = self.iterator
-            if isinstance(it, ResourceIterator):
-                pairs = it.resolve(spark)
-            elif isinstance(it, dict):
-                pairs = list(it.items())
-            else:
-                pairs = list(it)
-            n_rows = sum(df.count() for _t, df in pairs)
+            # resolve ONCE (cached — _run reuses these pairs instead of
+            # re-loading driver-side iterators), and size the bar from
+            # plan statistics when the optimizer knows the row count;
+            # only stats-less sources pay a pre-bar count job, attributed
+            # to the job group so nothing runs unlabeled
+            pairs = self._resolve_sources(spark)
+            self._resolved_cache = pairs
+            sc.setJobGroup(state["group"], "data2neo source sizing")
+            n_rows = 0
+            for _t, df in pairs:
+                n = self._plan_row_count(df)
+                n_rows += n if n is not None else df.count()
             pb = progress_bar(total=2 * n_rows)
             state["span"] = n_rows
             self._progress_state = state
@@ -359,7 +384,12 @@ class Converter:
                 sc.setLocalProperty("spark.jobGroup.id", None)
         finally:
             self._progress_state = None
+            self._resolved_cache = None
             stop_evt.set()
+            if poller is not None:
+                # the poller must be parked before the final bar update —
+                # a mid-loop refresh landing after it would rewind the bar
+                poller.join(timeout=5)
             if pb is not None:
                 pb.n = pb.total if hasattr(pb, "total") else pb.n
                 pb.refresh()

@@ -710,15 +710,22 @@ class GraphStore:
                 # INTO — only changed rows rewrite (a snapshot commit),
                 # instead of replacing the whole table. NOT MATCHED BY
                 # SOURCE THEN DELETE makes it full-replace-equivalent.
-                view = f"_d2s_merge_src_{name}"
-                df.createOrReplaceTempView(view)
-                try:
-                    self.spark.sql(
-                        _merge_into_sql(ident, view, df.columns, key)
-                    )
-                finally:
-                    self.spark.catalog.dropTempView(view)
-                continue
+                # Requires Iceberg's Spark 3.4+/1.4+ runtime for the
+                # NOT-MATCHED-BY-SOURCE clause. Schema drift (e.g. a new
+                # dynamic property column since the last save) cannot
+                # MERGE — fall through to createOrReplace, which commits
+                # the new schema as a snapshot.
+                existing_cols = set(self.spark.table(ident).columns)
+                if set(df.columns) == existing_cols:
+                    view = f"_d2s_merge_src_{name}"
+                    df.createOrReplaceTempView(view)
+                    try:
+                        self.spark.sql(
+                            _merge_into_sql(ident, view, df.columns, key)
+                        )
+                    finally:
+                        self.spark.catalog.dropTempView(view)
+                    continue
             w = df.writeTo(ident).using(format)
             if partition_buckets:
                 if format != "iceberg":

@@ -207,7 +207,10 @@ def _norm_col(text: Column) -> Column:
 
 def classify_py(text: str, max_chars: int = 1000) -> Tuple[str, int]:
     """Pure-python reference classifier (tests cross-check Spark against
-    this; identical tie-breaking and sample cap)."""
+    this; identical tie-breaking and sample cap, including null input →
+    ('und', None) exactly as the Spark path's left join yields)."""
+    if text is None:
+        return "und", None
     doc = profile_of(text, max_chars=max_chars)
     drank = {g: i + 1 for i, g in enumerate(doc)}
     best = None
@@ -234,9 +237,12 @@ def with_langid_ct(
     """(id, lang_pred, dist) — Cavnar-Trenkle prediction per document.
 
     One (doc, gram) count shuffle + one per-doc rank window + a broadcast
-    profile join + one (doc, lang) distance aggregation; documents whose
-    profile shares no gram with any language profile (e.g. empty text)
-    predict 'und' with a NULL dist.
+    profile join + one (doc, lang) distance aggregation; only documents
+    whose profile shares NO gram with any language profile predict 'und'
+    (with a NULL dist) — in practice that means null text: empty text
+    normalizes to '__', whose '_'/'__' grams match every profile, so
+    empty documents get a (meaningless but deterministic) real-language
+    prediction. Run after quality gates, which drop empty docs anyway.
 
     ``max_chars`` caps the normalized sample per document (the published
     method classifies on ~300-byte samples; 1000 normalized chars is
