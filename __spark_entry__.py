@@ -623,6 +623,16 @@ def _sim_quantize(spark, sf_dir):
     )
 
 
+def _audio_stats(spark, sf_dir):
+    """Real PCM decode end-to-end: synthetic WAVs carry ACTUAL s16le
+    sample bytes (formula-derived), the Arrow pass parses RIFF + decodes
+    samples, and the oracle replays the sample formula into the same
+    integer sums — a wrong byte anywhere changes sum_sq."""
+    from data2neo_spark.operators.multimodal import synth_audio, with_audio_stats
+
+    return with_audio_stats(synth_audio(spark, n=100).coalesce(2))
+
+
 def _image_phash(spark, sf_dir):
     """Perceptual-hash image near-dup: synthetic textured PNGs with
     planted near-duplicate twins → real pixel decode (stdlib inflate +
@@ -1249,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_v2": _text_langid_v2,
         "dedup_minhash": _dedup_minhash,
         "image_phash": _image_phash,
+        "audio_stats": _audio_stats,
         "dedup_incremental_store": _dedup_incremental_store,
         "dedup_simhash": _dedup_simhash,
         "graph_pagerank": _graph_pagerank,
@@ -2267,6 +2278,28 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf": sim_ivf,
         "multimodal_features": multimodal,
         "image_phash": _phash_oracle_sql(),
+        "audio_stats": """
+WITH a AS (
+  SELECT range AS media_id,
+         8000 + (range % 5) * 4000 AS rate,
+         (range % 25) * 4 + 4 AS nf
+  FROM range(100)
+), s AS (
+  SELECT media_id, rate, nf,
+    list_transform(generate_series(0, nf - 1),
+                   k -> (media_id*73 + k*129) % 4096 - 2048) AS smp
+  FROM a
+)
+SELECT media_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(nf AS BIGINT) AS n_samples,
+       CAST((nf * 1000) // rate AS BIGINT) AS duration_ms,
+       CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+       CAST(list_sum(list_transform(smp, v -> v*v)) AS BIGINT) AS sum_sq,
+       CAST(list_aggregate(list_transform(smp, v -> abs(v)), 'max')
+            AS INTEGER) AS peak
+FROM s
+""",
         "text_quality": (
             "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_calc, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

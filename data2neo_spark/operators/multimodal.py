@@ -695,3 +695,147 @@ def synth_images(spark, n: int = 120, size: int = 16) -> DataFrame:
         F.unhex(png_hex).alias("payload"),
         F.lit("image/png").alias("mime"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: PCM sample decode + signal statistics
+# ---------------------------------------------------------------------------
+
+def decode_wav_samples(b: bytes):
+    """Pure-stdlib WAV PCM decode: RIFF chunk walk → the data chunk's
+    ACTUAL bytes as signed little-endian samples.
+
+    Returns ``(sample_rate, n_channels, bits, samples)`` with ``samples``
+    a flat, channel-interleaved list of ints, or ``None`` if the payload
+    is not a WAV. Supports PCM (format tag 1) at 8 bits (unsigned,
+    rebased to signed) and 16/32 bits (signed LE). A header-only payload
+    (declared data size but no bytes — the synth_media audio rows)
+    decodes to zero samples; compressed formats raise ``ValueError``."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data = b""
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        clen = _le(b, i + 4, 4)
+        if cid == b"fmt " and i + 24 <= len(b):
+            tag = _le(b, i + 8, 2)
+            fmt = (tag, _le(b, i + 10, 2), _le(b, i + 12, 4), _le(b, i + 22, 2))
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + clen]
+            break
+        i += 8 + clen
+    if fmt is None:
+        return None
+    tag, channels, rate, bits = fmt
+    if tag != 1:
+        raise ValueError(f"WAV: non-PCM format tag {tag} needs a codec")
+    if bits not in (8, 16, 32):
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    width = bits // 8
+    n = len(data) // width
+    samples = []
+    for k in range(n):
+        v = int.from_bytes(data[k * width:(k + 1) * width], "little",
+                           signed=(bits != 8))
+        if bits == 8:
+            v -= 128
+        samples.append(v)
+    return rate, channels, bits, samples
+
+
+def audio_stats(b: bytes):
+    """Signal statistics of a PCM WAV payload: dict with ``sample_rate``,
+    ``n_channels``, ``n_samples`` (per channel), ``duration_ms`` (from
+    the ACTUAL samples, unlike the header's declared size),
+    ``sum_samples``/``sum_sq`` (exact integer sums over all channel
+    samples — rms = sqrt(sum_sq/n) when the caller wants floats) and
+    ``peak`` (max |sample|). None for non-WAV or sample-less payloads."""
+    try:
+        decoded = decode_wav_samples(b)
+    except ValueError:
+        return None
+    if decoded is None:
+        return None
+    rate, ch, _bits, samples = decoded
+    if not samples:
+        return None
+    n_frames = len(samples) // ch
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_samples": n_frames,
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
+        "sum_samples": sum(samples),
+        "sum_sq": sum(v * v for v in samples),
+        "peak": max(abs(v) for v in samples),
+    }
+
+
+def with_audio_stats(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_samples, duration_ms, sum_samples,
+    sum_sq, peak) per decodable PCM payload via Arrow ``mapInPandas`` —
+    nulls for payloads that aren't PCM WAVs."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ])
+    cols = [f.name for f in schema.fields]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                st = audio_stats(rec["payload"] or b"")
+                row = {"media_id": rec["media_id"]}
+                for c in cols[1:]:
+                    row[c] = st[c] if st else None
+                out.append(row)
+            yield _pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(_run, schema=schema)
+
+
+def synth_audio(spark, n: int = 100) -> DataFrame:
+    """Deterministic WAVs with REAL PCM payloads (mono 16-bit): sample k
+    of media_id m is ``((m*73 + k*129) % 4096) - 2048`` — SQL-replayable
+    signed values encoded little-endian, 4..100 frames per file. Same
+    verifiable construction as :func:`synth_media`/:func:`synth_images`:
+    the hex is pure integer Column arithmetic the oracle rebuilds."""
+    rows = spark.range(n).select(F.col("id").alias("media_id"))
+    mid = F.col("media_id")
+    rate = (F.lit(8000) + (mid % 5) * 4000).cast("long")
+    n_frames = ((mid % 25) * 4 + 4).cast("long")           # 4..100
+    data_size = n_frames * 2                                # mono s16le
+
+    def _sample(k):
+        return (mid * 73 + k * 129) % 4096 - 2048
+
+    pcm_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_frames - 1).cast("int")),
+            # signed → two's-complement 16-bit, little-endian
+            lambda k: _le16((_sample(k) + 65536) % 65536),
+        ),
+        "",
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"), _le32(data_size + 36), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+        _le16(F.lit(1)), _le32(rate), _le32(rate * 2), _le16(F.lit(2)),
+        F.lit("1000"), F.lit("64617461"), _le32(data_size), pcm_hex,
+    )
+    return rows.select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.unhex(wav_hex).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )

@@ -1101,3 +1101,50 @@ def test_clean_corpus_url_and_normalize(spark):
     assert "café" in out[2]["text"]
     rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
     assert rep["url"] == (3, 2)
+
+
+def test_wav_sample_decode():
+    """decode_wav_samples parses real PCM payloads: 16-bit signed LE with
+    an extra chunk before data, 8-bit unsigned rebased, non-PCM raises."""
+    import struct
+
+    def wav(bits, data, channels=1, rate=8000, tag=1):
+        fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                          rate * channels * (bits // 8),
+                          channels * (bits // 8), bits)
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        return (b"RIFF" + struct.pack("<I", 36 + 4 + 8 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt + extra
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    vals = [0, 1000, -1000, 32767, -32768]
+    b16 = wav(16, struct.pack("<5h", *vals))
+    rate, ch, bits, samples = multimodal.decode_wav_samples(b16)
+    assert (rate, ch, bits, samples) == (8000, 1, 16, vals)
+    st = multimodal.audio_stats(b16)
+    assert st["n_samples"] == 5 and st["peak"] == 32768
+    assert st["sum_sq"] == sum(v * v for v in vals)
+
+    b8 = wav(8, bytes([128, 255, 0]))
+    assert multimodal.decode_wav_samples(b8)[3] == [0, 127, -128]
+
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_samples(wav(16, b"\x00\x00", tag=3))  # float
+    assert multimodal.decode_wav_samples(b"\x89PNG") is None
+    # header-only (synth_media audio rows): zero samples, stats None
+    hdr_only = wav(16, b"")
+    assert multimodal.decode_wav_samples(hdr_only)[3] == []
+    assert multimodal.audio_stats(hdr_only) is None
+
+
+def test_synth_audio_roundtrip(spark):
+    """synth_audio emits REAL s16le PCM; decode recovers the exact sample
+    formula values."""
+    rows = multimodal.synth_audio(spark, n=20).collect()
+    for r in rows[:8]:
+        mid = r.media_id
+        rate, ch, bits, samples = multimodal.decode_wav_samples(bytes(r.payload))
+        assert (rate, ch, bits) == (8000 + (mid % 5) * 4000, 1, 16)
+        nf = (mid % 25) * 4 + 4
+        assert samples == [((mid * 73 + k * 129) % 4096) - 2048
+                           for k in range(nf)]
