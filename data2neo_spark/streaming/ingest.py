@@ -247,3 +247,78 @@ def stream_sessionize(events_stream: DataFrame, timeout_ms: int = 0) -> DataFram
             ),
         )
     )
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    available_now: bool = False,
+):
+    """Streaming daily-crawl dedup against the persistent signature store:
+    every micro-batch (a) emits its WITHIN-batch LSH candidate pairs, (b)
+    emits its batch×STORE cross-frame pairs, then (c) appends its own band
+    signatures to the store — so each document's signatures are computed
+    exactly once ever, and the union of emitted pairs is MICRO-BATCH-
+    BOUNDARY-INVARIANT: it equals all candidate pairs (a, b) with b seen
+    no later than a, however the stream is chopped (the idempotence twin
+    of the batch operator contract; verified in test_streaming).
+
+    Layout under ``store_dir``: ``bands/`` (the
+    :func:`~data2neo_spark.operators.dedup.band_signatures` frame) and
+    ``pairs/`` (the emitted candidate pairs, appended per batch).
+    Returns the StreamingQuery.
+    """
+    import os as _os
+
+    from ..operators.dedup import (
+        band_signatures, minhash_lsh_candidates,
+        minhash_lsh_candidates_between,
+    )
+
+    bands_path = _os.path.join(store_dir, "bands")
+    pairs_path = _os.path.join(store_dir, "pairs")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            sig = band_signatures(
+                batch, id_col, text_col, num_hashes, bands, shingle_n
+            )
+            within = minhash_lsh_candidates(
+                batch, id_col, text_col, num_hashes, bands, shingle_n,
+                max_bucket_size,
+            ).select(
+                F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"),
+                "n_shared_bands",
+            )
+            have_store = _os.path.exists(_os.path.join(bands_path, "_SUCCESS"))
+            if have_store:
+                stored = spark.read.parquet(bands_path)
+                cross = minhash_lsh_candidates_between(
+                    batch, None, id_col, text_col, num_hashes, bands,
+                    shingle_n, max_bucket_size, corpus_bands=stored,
+                )
+                out = within.unionByName(cross)
+            else:
+                out = within
+            out.write.mode("append").parquet(pairs_path)
+            sig.write.mode("append").parquet(bands_path)
+        finally:
+            batch.unpersist()
+
+    w = docs_stream.writeStream.foreachBatch(_process).outputMode("update")
+    if available_now:
+        # drain everything already on disk (respecting source rate limits
+        # like maxFilesPerTrigger, so batch boundaries still exercise the
+        # store path) and terminate — the batch-job-shaped daily run
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -215,3 +215,40 @@ def test_stateless_mentions_count_hits(spark):
     got = {(r["surface"]): r["n_hits"]
            for r in _stateless_mentions(docs, d, ["url"], count_hits=True).collect()}
     assert got == {"w1": 2, "w2": 1}
+
+
+def test_stream_incremental_dedup_boundary_invariant(spark, tmp_path):
+    """Streaming dedup against the signature store: the union of
+    within-batch and batch-vs-store candidate pairs over ANY micro-batch
+    chopping equals the one-shot batch operator's candidates (unordered),
+    and each doc's signatures are written to the store exactly once."""
+    from data2neo_spark.operators.dedup import minhash_lsh_candidates
+    from data2neo_spark.streaming.ingest import stream_incremental_dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").where("doc_id < 120")
+    src = str(tmp_path / "src")
+    # three single-file batches → maxFilesPerTrigger=1 forces 3 micro-batches
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+    store = str(tmp_path / "store")
+    q = stream_incremental_dedup(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        store,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = {frozenset((r["new_id"], r["corpus_id"])): r["n_shared_bands"]
+           for r in spark.read.parquet(store + "/pairs").collect()}
+    want = {frozenset((r["id_a"], r["id_b"])): r["n_shared_bands"]
+            for r in minhash_lsh_candidates(
+                docs, "doc_id", num_hashes=32, bands=8).collect()}
+    assert got == want and want
+    # store holds each doc's bands exactly once
+    bands = spark.read.parquet(store + "/bands")
+    per_doc = bands.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 8 for r in per_doc)
+    assert len(per_doc) == docs.count()
