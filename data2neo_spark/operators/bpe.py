@@ -111,11 +111,12 @@ def load_merges_file(path: str) -> List[Tuple[str, str]]:
         merges = load_merges_file("/path/to/merges.txt")
         with_bpe_token_count(docs, merges=merges)
 
-    Note the pre-tokenization contract: this module splits on whitespace
-    and merges over raw character sequences. A byte-level merges file
-    (GPT-2's own, with its Ġ-remapped alphabet) loads fine, but matching
-    its token counts exactly would additionally need the byte→unicode
-    remap and regex pre-splitter applied to the input text."""
+    Pre-tokenization contract: :func:`with_bpe_token_count` splits on
+    whitespace and merges raw character sequences; for a BYTE-LEVEL
+    merges file (GPT-2's own, Ġ-remapped alphabet) use
+    :func:`with_gpt2_token_count`, which applies the published
+    pre-splitter + byte→unicode remap so counts match the published
+    tokenizer exactly."""
     merges: List[Tuple[str, str]] = []
     with open(path, encoding="utf-8") as fh:
         for line in fh:
@@ -265,3 +266,126 @@ def chunk_documents_bpe(
             F.col("_c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 byte-level mode (public encoder algorithm, reimplemented)
+# ---------------------------------------------------------------------------
+
+_GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> Dict[int, str]:
+    """The public GPT-2 byte→unicode bijection: printable latin ranges map
+    to themselves, every other byte to 256+n — so arbitrary bytes become
+    a string the merges file's alphabet can address ('Ġ' = space)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def _char_class(c: str) -> str:
+    import unicodedata
+
+    if c.isspace():
+        return "s"
+    cat = unicodedata.category(c)
+    if cat.startswith("L"):
+        return "L"
+    if cat.startswith("N"):
+        return "N"
+    return "p"
+
+
+def pretokenize_gpt2(text: str) -> List[str]:
+    """GPT-2's pre-split, as a deterministic scanner (python ``re`` lacks
+    \\p{L}; this replays the published pattern's leftmost-alternation
+    semantics: contractions | ' ?letters' | ' ?numbers' | ' ?punct' |
+    trailing-whitespace | whitespace)."""
+    toks: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            hit = next((s for s in _GPT2_CONTRACTIONS
+                        if text.startswith(s, i)), None)
+            if hit:
+                toks.append(hit)
+                i += len(hit)
+                continue
+        start = i + 1 if (c == " " and i + 1 < n) else i
+        if start < n:
+            k = _char_class(text[start])
+            if k in ("L", "N", "p"):
+                # note: a punct run DOES swallow apostrophes ("?!'s" →
+                # "?!'", "s") — the contraction alternatives only win at
+                # the leftmost position, exactly like the published regex
+                j = start
+                while j < n and _char_class(text[j]) == k:
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+                continue
+        # whitespace run (rules 5/6: leave the last space for the next
+        # token when a non-space follows a multi-space run)
+        j = i
+        while j < n and text[j].isspace():
+            j += 1
+        if j < n and j - i > 1:
+            j -= 1
+        toks.append(text[i:j if j > i else i + 1])
+        i = j if j > i else i + 1
+    return toks
+
+
+def gpt2_pieces(text: str) -> List[str]:
+    """Pre-split + byte→unicode remap: the exact symbol strings a GPT-2
+    merges table addresses."""
+    b2u = bytes_to_unicode()
+    return ["".join(b2u[b] for b in piece.encode("utf-8"))
+            for piece in pretokenize_gpt2(text)]
+
+
+def gpt2_count_column(text_col: Column, merges) -> Column:
+    """Column: total token count under a GPT-2-format merges table with
+    byte-level pretokenization — budget documents in a PUBLISHED
+    tokenizer's own tokens. Zero-shuffle Arrow map with a per-batch
+    distinct-piece memo."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        memo: Dict[str, int] = {}
+
+        def pc(p: str) -> int:
+            v = memo.get(p)
+            if v is None:
+                v = len(encode_word(p, ranks))
+                memo[p] = v
+            return v
+
+        return s.map(
+            lambda t: sum(pc(p) for p in gpt2_pieces(t)) if t else 0
+        ).astype("int64")
+
+    return _count(text_col)
+
+
+def with_gpt2_token_count(
+    df: DataFrame, merges, text_col: str = "text",
+    out_col: str = "gpt2_tokens",
+) -> DataFrame:
+    """Adds ``gpt2_tokens`` under a user-supplied GPT-2 merges table
+    (:func:`load_merges_file`). Same encoder as the seed path; the
+    pretokenizer + byte remap make counts match the published tokenizer
+    for any merges file in that format."""
+    return df.withColumn(out_col, gpt2_count_column(F.col(text_col), merges))

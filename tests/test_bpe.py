@@ -144,3 +144,50 @@ def test_merges_from_dataframe(spark):
     assert merges == [("t", "h"), ("th", "e")]
     ranks = {p: i for i, p in enumerate(merges)}
     assert bpe.encode_word("the", ranks) == ["the"]
+
+
+def test_gpt2_pretokenizer_semantics():
+    """The scanner replays the published pattern's leftmost-alternation
+    semantics: contractions at the leftmost position only, optional
+    single leading space on letter/number/punct runs, multi-space runs
+    leave the last space for the following token."""
+    cases = {
+        "Hello world": ["Hello", " world"],
+        "don't stop": ["don", "'t", " stop"],
+        "I'll we've he's": ["I", "'ll", " we", "'ve", " he", "'s"],
+        "x3 + 4!": ["x", "3", " +", " 4", "!"],
+        "a  b": ["a", " ", " b"],
+        "a   b": ["a", "  ", " b"],
+        "tail  ": ["tail", "  "],
+        "a\nb": ["a", "\n", "b"],
+        "?!'s": ["?!'", "s"],        # punct run swallows the apostrophe
+        "": [],
+        "  ": ["  "],
+    }
+    for text, want in cases.items():
+        assert bpe.pretokenize_gpt2(text) == want, text
+    # lossless: pieces concatenate back to the input
+    for text in cases:
+        assert "".join(bpe.pretokenize_gpt2(text)) == text
+
+
+def test_gpt2_byte_remap_and_count(spark):
+    """bytes_to_unicode is the public bijection; a byte-level merges
+    table drives exact counts through the Spark column."""
+    b2u = bpe.bytes_to_unicode()
+    assert b2u[ord(" ")] == "Ġ" and b2u[ord("\n")] == "Ċ"
+    assert bpe.gpt2_pieces("a b") == ["a", "Ġb"]
+    # utf-8 multibyte survives the remap losslessly
+    piece = bpe.gpt2_pieces("é")[0]
+    assert len(piece) == 2    # two remapped bytes
+    inv = {v: k for k, v in b2u.items()}
+    assert bytes(inv[c] for c in piece).decode("utf-8") == "é"
+
+    merges = [("Ġ", "w"), ("w", "w")]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["w w w", None]})
+    )
+    got = {r["doc_id"]: r["gpt2_tokens"]
+           for r in bpe.with_gpt2_token_count(df, merges).collect()}
+    # "w w w" → pieces w, Ġw, Ġw → 1 + 1 + 1 = 3 tokens
+    assert got[0] == 3 and got[1] == 0
