@@ -623,6 +623,23 @@ def _sim_quantize(spark, sf_dir):
     )
 
 
+def _image_pixel_dedup(spark, sf_dir):
+    """Exact PIXEL-level image dedup across re-encodings: the same 60
+    images synthesized twice — filter-0 scanlines and filter-1 (Sub)
+    delta scanlines — have different BYTES but identical pixels, and the
+    decoded-pixel hash groups each image with its re-encoding (byte-level
+    hashing finds nothing). The oracle replays the pixel formula into the
+    same canonical string and sha256."""
+    from data2neo_spark.operators.multimodal import (
+        image_exact_duplicates, synth_images,
+    )
+
+    imgs = synth_images(spark, n=60).unionByName(
+        synth_images(spark, n=60, filter_mode="sub", id_offset=1000)
+    ).coalesce(4)
+    return image_exact_duplicates(imgs)
+
+
 def _audio_stats(spark, sf_dir):
     """Real PCM decode end-to-end: synthetic WAVs carry ACTUAL s16le
     sample bytes (formula-derived), the Arrow pass parses RIFF + decodes
@@ -1260,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "image_phash": _image_phash,
         "audio_stats": _audio_stats,
+        "image_pixel_dedup": _image_pixel_dedup,
         "dedup_incremental_store": _dedup_incremental_store,
         "dedup_simhash": _dedup_simhash,
         "graph_pagerank": _graph_pagerank,
@@ -2278,6 +2296,27 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf": sim_ivf,
         "multimodal_features": multimodal,
         "image_phash": _phash_oracle_sql(),
+        "image_pixel_dedup": """
+WITH ids AS (
+  SELECT range AS media_id FROM range(60)
+  UNION ALL SELECT range + 1000 FROM range(60)
+), px AS (
+  SELECT media_id,
+    '16x16x1:' || array_to_string(
+      list_transform(generate_series(0, 255), j ->
+        ((((media_id % 1000) // 2) * 37 + (j % 16) * 11 + (j // 16) * 17
+          + (((j % 16) * (j // 16) + (media_id % 1000) // 2) % 5) * 23) % 256
+         + CASE WHEN (media_id % 1000) % 2 = 1
+                AND ((j % 16) + (j // 16) * 16 + (media_id % 1000) // 2) % 41 = 0
+                THEN 3 ELSE 0 END) % 256
+      ), ',') AS canon
+  FROM ids
+)
+SELECT sha256(canon) AS px_sha,
+       min(media_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM px GROUP BY canon
+""",
         "audio_stats": """
 WITH a AS (
   SELECT range AS media_id,

@@ -1,18 +1,25 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns, with
+REAL pure-stdlib decode wherever the format allows it.
 
-The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas plumbing,
-partition sizing) is real and tested. HEADER decode is real too — pure
-python PNG / JPEG / WAV container parsing (public file formats), no native
-imaging libraries needed — so width/height/sample-rate/duration are
-genuine parsed metadata. Only PIXEL/SAMPLE decode (the model-input path)
-remains stubbed behind ``fake_feature``: that genuinely needs
-libjpeg/ffmpeg-class native code this container does not ship.
+* HEADER decode — PNG/JPEG/WAV container parsing (public file formats):
+  width/height/sample-rate/duration are genuine parsed metadata.
+* PNG PIXEL decode — zlib inflate of the IDAT stream + all five RFC 2083
+  scanline filters (:func:`decode_png_pixels`), feeding pixel stats, real
+  per-channel features, the pHash near-dup family, and exact pixel-level
+  dedup (:func:`image_exact_duplicates` — catches re-encoded duplicates).
+* WAV PCM SAMPLE decode — actual data-chunk samples
+  (:func:`decode_wav_samples`) with exact integer signal statistics.
+* JPEG pixel decode stays unsupported: entropy decoding genuinely needs
+  libjpeg-class native code this container does not ship; the
+  ``fake_feature`` stand-in remains for payloads without a stdlib path.
 
-``synth_media`` emits payloads with REAL headers, constructed from a hex
-string built of pure integer expressions — the DuckDB oracle rebuilds the
-identical hex per media_id and hashes it, so the driver query verifies
-synth → real bytes → python header parse end-to-end against independent
-SQL arithmetic.
+The synth generators (``synth_media`` / ``synth_images`` /
+``synth_audio``) emit payloads whose bytes are built from pure integer
+Column expressions (complete PNGs with stored-deflate IDAT + genuine
+adler32; WAVs with real s16le sample bytes) — the DuckDB oracle rebuilds
+the identical hex per media_id and independently replays the pixel/sample
+formulas, so the driver queries verify synth → real bytes → inflate →
+unfilter/decode → stats end-to-end against independent SQL arithmetic.
 """
 
 from __future__ import annotations
@@ -629,18 +636,26 @@ def phash_near_duplicates(
     )
 
 
-def synth_images(spark, n: int = 120, size: int = 16) -> DataFrame:
+def synth_images(spark, n: int = 120, size: int = 16,
+                 filter_mode: str = "none", id_offset: int = 0) -> DataFrame:
     """Deterministic textured greyscale PNGs with PLANTED near-duplicates:
     media_ids 2k and 2k+1 share base pixels (keyed by pair = id//2) and
     the odd twin adds +3 to a sparse pixel subset — a genuine
     perceptual-near-dup, while different pairs draw different textures.
 
     Same verifiable construction as :func:`synth_media`: payload hex is
-    pure integer Column arithmetic (stored-deflate IDAT + real adler32,
-    filter-0 scanlines), so the DuckDB oracle rebuilds the identical
-    bytes AND replays the pixel formula into the same pHash."""
-    rows = spark.range(n).select(F.col("id").alias("media_id"))
-    mid = F.col("media_id")
+    pure integer Column arithmetic (stored-deflate IDAT + real adler32),
+    so the DuckDB oracle rebuilds the identical bytes AND replays the
+    pixel formula into the same pHash.
+
+    ``filter_mode``: scanline encoding — ``"none"`` (filter-0 raw rows)
+    or ``"sub"`` (filter-1 delta rows). The PIXELS are identical either
+    way while the BYTES differ — re-encoded duplicates, the case
+    pixel-level dedup exists for. ``id_offset`` shifts media_ids so two
+    encodings of the same image can coexist in one frame (the pixel
+    formula uses ``media_id - id_offset``)."""
+    rows = spark.range(n).select((F.col("id") + id_offset).alias("media_id"))
+    mid = F.col("media_id") - F.lit(id_offset)
     pair = F.floor(mid / 2)
     w = h = size
 
@@ -651,26 +666,51 @@ def synth_images(spark, n: int = 120, size: int = 16) -> DataFrame:
         ).otherwise(F.lit(0))
         return (base + bump) % 256
 
-    raw_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(h - 1)),
-            lambda y: F.concat(
+    if filter_mode == "none":
+        def _scan_row(y):
+            return F.concat(
                 F.lit("00"),
                 F.array_join(
                     F.transform(F.sequence(F.lit(0), F.lit(w - 1)),
                                 lambda x: _hx(_px(x, y), 2)),
                     "",
                 ),
-            ),
-        ),
-        "",
+            )
+    elif filter_mode == "sub":
+        def _scan_row(y):
+            return F.concat(
+                F.lit("01"), _hx(_px(F.lit(0), y), 2),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(w - 1)),
+                        lambda x: _hx((_px(x, y) - _px(x - 1, y) + 256) % 256, 2),
+                    ),
+                    "",
+                ),
+            )
+    else:
+        raise ValueError("filter_mode must be 'none' or 'sub'")
+
+    raw_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(h - 1)), _scan_row), ""
     )
     n_raw = h * (w + 1)
 
-    def _raw_byte(i):
-        y = F.floor(i / (w + 1))
-        r = i % (w + 1)
-        return F.when(r == 0, F.lit(0)).otherwise(_px(r - 1, y)).cast("long")
+    if filter_mode == "none":
+        def _raw_byte(i):
+            y = F.floor(i / (w + 1))
+            r = i % (w + 1)
+            return F.when(r == 0, F.lit(0)).otherwise(_px(r - 1, y)).cast("long")
+    else:
+        def _raw_byte(i):
+            y = F.floor(i / (w + 1))
+            r = i % (w + 1)
+            x = r - 1
+            return (
+                F.when(r == 0, F.lit(1))
+                .when(x == 0, _px(F.lit(0), y))
+                .otherwise((_px(x, y) - _px(x - 1, y) + 256) % 256)
+            ).cast("long")
 
     packed = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_raw - 1)),
@@ -838,4 +878,56 @@ def synth_audio(spark, n: int = 100) -> DataFrame:
         F.lit("audio").alias("kind"),
         F.unhex(wav_hex).alias("payload"),
         F.lit("audio/wav").alias("mime"),
+    )
+
+
+def with_pixel_hash(media: DataFrame) -> DataFrame:
+    """(media_id, kind, px_sha) — sha256 over the DECODED pixel buffer's
+    canonical string ``"{w}x{h}x{ch}:" + comma-joined pixel ints`` (a
+    VARCHAR hash so the DuckDB oracle can replay it; DuckDB's sha256 is
+    string-only). Identical pixels hash equal regardless of how the PNG
+    was filtered/compressed — the signature for re-encoded-duplicate
+    detection. Null for non-decodable payloads."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("px_sha", T.StringType()),
+    ])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                payload = rec["payload"] or b""
+                try:
+                    decoded = decode_png_pixels(payload)
+                except ValueError:
+                    decoded = None
+                if decoded:
+                    w, h, ch, px = decoded
+                    canon = f"{w}x{h}x{ch}:" + ",".join(str(v) for v in px)
+                    sha = _hashlib.sha256(canon.encode()).hexdigest()
+                else:
+                    sha = None
+                out.append({"media_id": rec["media_id"],
+                            "kind": rec["kind"], "px_sha": sha})
+            yield _pd.DataFrame(out, columns=["media_id", "kind", "px_sha"])
+
+    return media.mapInPandas(_run, schema=schema)
+
+
+def image_exact_duplicates(media: DataFrame) -> DataFrame:
+    """Exact PIXEL-level image dedup: (px_sha, keeper_id, n_dups) — one
+    md5-class groupBy over decoded-pixel hashes, the image twin of
+    ``dedup.exact_duplicates``. Catches re-encoded duplicates (same
+    pixels, different PNG filters/compression) that byte-level hashing
+    misses; non-decodable payloads drop out."""
+    sig = with_pixel_hash(media).where(F.col("px_sha").isNotNull())
+    return (
+        sig.groupBy("px_sha")
+        .agg(F.min("media_id").alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_dups"))
     )

@@ -1148,3 +1148,17 @@ def test_synth_audio_roundtrip(spark):
         nf = (mid % 25) * 4 + 4
         assert samples == [((mid * 73 + k * 129) % 4096) - 2048
                            for k in range(nf)]
+
+
+def test_image_exact_duplicates_reencoded(spark):
+    """Pixel-level dedup groups an image with its re-encoding (filter-0 vs
+    Sub scanlines: different bytes, identical pixels) — the case byte
+    hashing misses; twins (perturbed pixels) stay separate."""
+    a = multimodal.synth_images(spark, n=20)
+    b = multimodal.synth_images(spark, n=20, filter_mode="sub", id_offset=1000)
+    both = a.unionByName(b)
+    # byte-level: all 40 payloads distinct
+    assert both.select("payload").distinct().count() == 40
+    groups = multimodal.image_exact_duplicates(both).collect()
+    assert len(groups) == 20
+    assert all(r["n_dups"] == 2 and r["keeper_id"] < 1000 for r in groups)
