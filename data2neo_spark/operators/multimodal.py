@@ -83,13 +83,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale, RGB, grey+A, RGBA
 def decode_png_pixels(b: bytes):
     """Pure-python PNG pixel decode: chunk walk → zlib inflate of the
     concatenated IDAT stream → per-scanline unfilter (all five RFC 2083
-    filter types: None/Sub/Up/Average/Paeth).
+    filter types: None/Sub/Up/Average/Paeth) → bit unpack / palette map.
 
-    Returns ``(width, height, channels, pixel_bytes)`` or ``None`` if the
-    payload is not a PNG. Supports the non-interlaced 8-bit-depth color
-    types (greyscale / RGB / grey+alpha / RGBA); raises ``ValueError``
-    on palette, 1/2/4/16-bit depths, or interlaced images. Chunk CRCs
-    are not verified (the zlib adler32 already covers the pixel data).
+    Returns ``(width, height, channels, pixel_bytes)`` — always 8 bits
+    per sample (sub-8-bit greys scale to 0..255, palette indices map to
+    their RGB entries) — or ``None`` if the payload is not a PNG. Covers
+    the non-interlaced color types: greyscale (1/2/4/8-bit), RGB,
+    palette (1/2/4/8-bit + PLTE), grey+alpha, RGBA; raises ``ValueError``
+    on 16-bit depth and interlace. Chunk CRCs are not verified (the zlib
+    adler32 already covers the pixel data).
     """
     import zlib
 
@@ -99,6 +101,7 @@ def decode_png_pixels(b: bytes):
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while i + 8 <= len(b):
         clen = _be(b, i, 4)
         ctype = b[i + 4:i + 8]
@@ -109,6 +112,8 @@ def decode_png_pixels(b: bytes):
             width, height = _be(data, 0, 4), _be(data, 4, 4)
             bit_depth, color_type = data[8], data[9]
             interlace = data[12]
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -118,22 +123,32 @@ def decode_png_pixels(b: bytes):
         raise ValueError("PNG: missing IHDR")
     if not idat:
         raise ValueError("PNG: no IDAT data (header-only payload)")
-    if bit_depth != 8:
-        raise ValueError(f"PNG: unsupported bit depth {bit_depth}")
-    if color_type not in _PNG_CHANNELS:
+    is_palette = color_type == 3
+    if color_type not in _PNG_CHANNELS and not is_palette:
         raise ValueError(f"PNG: unsupported color type {color_type}")
+    if is_palette or color_type == 0:
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError(f"PNG: unsupported bit depth {bit_depth} "
+                             f"for color type {color_type}")
+    elif bit_depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {bit_depth} "
+                         f"(16-bit samples not implemented)")
+    if is_palette and not plte:
+        raise ValueError("PNG: palette image without PLTE chunk")
     if interlace != 0:
         raise ValueError("PNG: interlaced images unsupported")
-    channels = _PNG_CHANNELS[color_type]
+    samples_per_px = 1 if is_palette else _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    # filtering operates on the PACKED byte stream (RFC 2083: bpp rounds
+    # up to one byte for sub-byte depths)
+    stride = (width * samples_per_px * bit_depth + 7) // 8
     if len(raw) != height * (1 + stride):
         raise ValueError(
             f"PNG: raw stream is {len(raw)} bytes, expected "
             f"{height * (1 + stride)}"
         )
     out = bytearray(height * stride)
-    bpp = channels  # bytes per pixel at depth 8
+    bpp = max(1, (samples_per_px * bit_depth) // 8)
     for y in range(height):
         f = raw[y * (1 + stride)]
         line = bytearray(raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
@@ -169,7 +184,38 @@ def decode_png_pixels(b: bytes):
         else:
             raise ValueError(f"PNG: unknown filter type {f} on row {y}")
         out[y * stride:(y + 1) * stride] = line
-    return width, height, channels, bytes(out)
+
+    if bit_depth == 8 and not is_palette:
+        return width, height, samples_per_px, bytes(out)
+
+    # unpack sub-byte samples (MSB-first within each byte, rows padded to
+    # byte boundaries) and resolve palette entries
+    def _row_samples(y):
+        row = out[y * stride:(y + 1) * stride]
+        if bit_depth == 8:
+            return row[:width]
+        vals = []
+        mask = (1 << bit_depth) - 1
+        per_byte = 8 // bit_depth
+        for x in range(width):
+            byte = row[x // per_byte]
+            shift = 8 - bit_depth * (x % per_byte + 1)
+            vals.append((byte >> shift) & mask)
+        return vals
+
+    px = bytearray()
+    if is_palette:
+        for y in range(height):
+            for v in _row_samples(y):
+                off = v * 3
+                if off + 3 > len(plte):
+                    raise ValueError(f"PNG: palette index {v} out of range")
+                px += plte[off:off + 3]
+        return width, height, 3, bytes(px)
+    scale = 255 // ((1 << bit_depth) - 1)
+    for y in range(height):
+        px += bytes(v * scale for v in _row_samples(y))
+    return width, height, 1, bytes(px)
 
 
 def pixel_stats(b: bytes):

@@ -1162,3 +1162,59 @@ def test_image_exact_duplicates_reencoded(spark):
     groups = multimodal.image_exact_duplicates(both).collect()
     assert len(groups) == 20
     assert all(r["n_dups"] == 2 and r["keeper_id"] < 1000 for r in groups)
+
+
+def test_png_decode_palette_and_low_depth():
+    """Palette (PLTE-mapped, 8- and 4-bit indices) and 1-bit greyscale
+    PNGs decode to 8-bit-per-sample buffers."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def png(w, h, depth, ctype_code, raw, plte=None):
+        ihdr = struct.pack(">II", w, h) + bytes([depth, ctype_code, 0, 0, 0])
+        parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+        if plte is not None:
+            parts.append(chunk(b"PLTE", plte))
+        parts.append(chunk(b"IDAT", zlib.compress(bytes(raw))))
+        parts.append(chunk(b"IEND", b""))
+        return b"".join(parts)
+
+    # 8-bit palette, 2x2: indices 0..3 -> distinct RGB entries
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    raw = bytes([0, 0, 1, 0, 2, 3])              # filter0 rows: [0,1],[2,3]
+    w_, h_, ch, px = multimodal.decode_png_pixels(png(2, 2, 8, 3, raw, plte))
+    assert (w_, h_, ch) == (2, 2, 3)
+    assert bytes(px) == bytes([255,0,0, 0,255,0, 0,0,255, 7,8,9])
+
+    # 4-bit palette, 3 wide (packed 2 per byte, padded): indices 1,0,2
+    raw4 = bytes([0, 0x10, 0x20])
+    _, _, ch, px = multimodal.decode_png_pixels(png(3, 1, 4, 3, raw4, plte))
+    assert ch == 3 and bytes(px) == bytes([0,255,0, 255,0,0, 0,0,255])
+
+    # 1-bit greyscale, 10 wide (pattern 1010101010 -> bytes AA 80)
+    raw1 = bytes([0, 0xAA, 0x80])
+    _, _, ch, px = multimodal.decode_png_pixels(png(10, 1, 1, 0, raw1))
+    assert ch == 1 and list(px) == [255, 0] * 5
+
+    # 2-bit greyscale scales 0..3 -> 0,85,170,255
+    raw2 = bytes([0, 0b00011011])
+    _, _, _, px = multimodal.decode_png_pixels(png(4, 1, 2, 0, raw2))
+    assert list(px) == [0, 85, 170, 255]
+
+    # Sub filter on a palette row still unfilters at byte level
+    raw_sub = bytes([1, 5, 254])                  # 5, then 5+254=3 (mod 256)
+    plte_big = bytes(range(256)) * 3
+    p = png(2, 1, 8, 3, raw_sub, bytes([v for i in range(256) for v in (i, i, i)]))
+    _, _, _, px = multimodal.decode_png_pixels(p)
+    assert list(px) == [5, 5, 5, 3, 3, 3]
+
+    # 16-bit still raises, palette without PLTE raises
+    ihdr16 = png(2, 1, 8, 0, bytes([0, 1, 2]))
+    with pytest.raises(ValueError):
+        multimodal.decode_png_pixels(png(2, 1, 16, 0, bytes(5)))
+    with pytest.raises(ValueError):
+        multimodal.decode_png_pixels(png(2, 2, 8, 3, raw))
