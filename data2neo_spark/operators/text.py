@@ -58,11 +58,14 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_token_count(
-    df: DataFrame, text_col: str = "text", tokenizer: str = "ws"
+    df: DataFrame, text_col: str = "text", tokenizer: str = "ws",
+    merges=None,
 ) -> DataFrame:
     """Whitespace + regex (alnum-run) token counts; ``tokenizer="bpe"``
     additionally adds the real subword count (``bpe_tokens``, the unit
-    training budgets are denominated in — see operators/bpe.py)."""
+    training budgets are denominated in — see operators/bpe.py).
+    ``merges`` overrides the embedded seed table (e.g. a
+    :func:`~data2neo_spark.operators.bpe.load_merges_file` vocabulary)."""
     text = F.col(text_col)
     out = df.withColumn(
         "ws_tokens", F.size(F.split(text, " ")).cast("long")
@@ -73,7 +76,7 @@ def with_token_count(
     if tokenizer == "bpe":
         from .bpe import bpe_count_column
 
-        out = out.withColumn("bpe_tokens", bpe_count_column(text))
+        out = out.withColumn("bpe_tokens", bpe_count_column(text, merges))
     elif tokenizer != "ws":
         raise ValueError("tokenizer must be 'ws' or 'bpe'")
     return out
@@ -548,6 +551,7 @@ def pack_sequences(
     text_col: str = "text",
     tokenizer: str = "ws",
     n_buckets: int = 0,
+    merges=None,
 ) -> DataFrame:
     """Training-sequence packing: documents are concatenated in ``id_col``
     order and split into fixed ``budget``-token sequences; returns
@@ -570,7 +574,7 @@ def pack_sequences(
     if tokenizer == "bpe":
         from .bpe import bpe_count_column
 
-        n_tok = bpe_count_column(F.col(text_col))
+        n_tok = bpe_count_column(F.col(text_col), merges)
     elif tokenizer == "ws":
         n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
     else:
