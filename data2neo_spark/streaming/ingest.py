@@ -269,9 +269,14 @@ def stream_incremental_dedup(
     no later than a, however the stream is chopped (the idempotence twin
     of the batch operator contract; verified in test_streaming).
 
-    Layout under ``store_dir``: ``bands/`` (the
-    :func:`~data2neo_spark.operators.dedup.band_signatures` frame) and
-    ``pairs/`` (the emitted candidate pairs, appended per batch).
+    Layout under ``store_dir``: ``bands/batch_id=N/`` (the
+    :func:`~data2neo_spark.operators.dedup.band_signatures` frames, one
+    partition dir per micro-batch) and ``pairs/batch_id=N/`` (the emitted
+    candidate pairs). Per-batch dirs are written with OVERWRITE, so a
+    replayed micro-batch (task failure, checkpoint restart) rewrites its
+    own output instead of double-appending — idempotent like the batch
+    converter path. Read either store through the parent directory
+    (partition discovery adds the ``batch_id`` column).
     Returns the StreamingQuery.
     """
     import os as _os
@@ -300,9 +305,19 @@ def stream_incremental_dedup(
                 F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"),
                 "n_shared_bands",
             )
-            have_store = _os.path.exists(_os.path.join(bands_path, "_SUCCESS"))
-            if have_store:
-                stored = spark.read.parquet(bands_path)
+            # the store must not see THIS batch's own signatures on a
+            # replay, so prior batches live in batch_id=N partition dirs
+            # and the replay check excludes the current id
+            prior = [
+                d for d in (_os.listdir(bands_path)
+                            if _os.path.isdir(bands_path) else [])
+                if d.startswith("batch_id=")
+                and d != f"batch_id={batch_id}"
+            ]
+            if prior:
+                stored = spark.read.parquet(
+                    *[_os.path.join(bands_path, d) for d in prior]
+                )
                 cross = minhash_lsh_candidates_between(
                     batch, None, id_col, text_col, num_hashes, bands,
                     shingle_n, max_bucket_size, corpus_bands=stored,
@@ -310,8 +325,16 @@ def stream_incremental_dedup(
                 out = within.unionByName(cross)
             else:
                 out = within
-            out.write.mode("append").parquet(pairs_path)
-            sig.write.mode("append").parquet(bands_path)
+            # per-batch partition dirs + overwrite ⇒ a replayed micro-batch
+            # (task failure, checkpoint restart) rewrites its OWN output
+            # instead of double-appending — the idempotence contract the
+            # batch converter path already keeps
+            out.write.mode("overwrite").parquet(
+                _os.path.join(pairs_path, f"batch_id={batch_id}")
+            )
+            sig.write.mode("overwrite").parquet(
+                _os.path.join(bands_path, f"batch_id={batch_id}")
+            )
         finally:
             batch.unpersist()
 

@@ -252,3 +252,19 @@ def test_stream_incremental_dedup_boundary_invariant(spark, tmp_path):
     per_doc = bands.groupBy("doc_id").count().collect()
     assert all(r["count"] == 8 for r in per_doc)
     assert len(per_doc) == docs.count()
+    n_bands = bands.count()
+
+    # replay idempotence: rerunning the whole stream (fresh query, same
+    # store) overwrites the per-batch partitions — no duplicate pairs or
+    # signatures accumulate
+    q2 = stream_incremental_dedup(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        store,
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    again = {frozenset((r["new_id"], r["corpus_id"])): r["n_shared_bands"]
+             for r in spark.read.parquet(store + "/pairs").collect()}
+    assert again == want
+    assert spark.read.parquet(store + "/bands").count() == n_bands
