@@ -57,22 +57,26 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def decode_image(payload: bytes):
-    """Decode a PNG payload to raw pixels — pure stdlib (zlib inflate +
-    RFC 2083 per-scanline unfilter), no native imaging library.
+    """Decode a PNG or baseline JPEG payload to raw pixels — pure python
+    (PNG: zlib inflate + RFC 2083 unfilter; JPEG: Huffman entropy decode
+    + IDCT, :mod:`~data2neo_spark.operators.jpeg`), no native imaging
+    library.
 
     Returns ``(width, height, channels, bytes)`` where ``bytes`` is the
     row-major, channel-interleaved 8-bit pixel buffer. Raises
-    ``ValueError`` for non-PNG payloads and for PNG features this decoder
-    does not cover (bit depth != 8, palette, interlace). JPEG entropy
-    decode genuinely needs libjpeg-class native code and stays
-    unsupported here.
+    ``ValueError`` for unrecognized payloads and for format features the
+    decoders do not cover (16-bit/interlaced PNG; progressive/arithmetic
+    JPEG).
     """
     pixels = decode_png_pixels(payload)
     if pixels is None:
+        from .jpeg import decode_jpeg_pixels
+
+        pixels = decode_jpeg_pixels(payload)
+    if pixels is None:
         raise ValueError(
-            "decode_image: payload is not a PNG; JPEG/other pixel decode "
-            "requires a native imaging library not shipped in this "
-            "container (headers parse fine via parse_header)"
+            "decode_image: payload is neither a PNG nor a JPEG "
+            "(headers for other containers parse via parse_header)"
         )
     return pixels
 
@@ -219,13 +223,14 @@ def decode_png_pixels(b: bytes):
 
 
 def pixel_stats(b: bytes):
-    """Pixel-level statistics of a decodable PNG payload: dict with
-    ``n_px`` (pixel count), ``px_sum``/``px_min``/``px_max`` (over all
-    channel bytes) and ``channel_means`` (per-channel float means).
-    Returns ``None`` when the payload is not a PNG or carries no pixel
-    data (header-only synth rows, JPEG, WAV, opaque)."""
+    """Pixel-level statistics of a decodable PNG or baseline-JPEG
+    payload: dict with ``n_px`` (pixel count),
+    ``px_sum``/``px_min``/``px_max`` (over all channel bytes) and
+    ``channel_means`` (per-channel float means). Returns ``None`` when
+    the payload carries no decodable pixel data (header-only synth rows,
+    progressive JPEG, WAV, opaque)."""
     try:
-        decoded = decode_png_pixels(b)
+        decoded = decode_image(b)
     except ValueError:
         return None
     if decoded is None:
@@ -386,7 +391,8 @@ def extract_features(
             for rec in pdf.to_dict("records"):
                 payload = rec["payload"] or b""
                 hdr = parse(payload)
-                px = stats(payload) if hdr["format"] == "png" else None
+                px = (stats(payload)
+                      if hdr["format"] in ("png", "jpeg") else None)
                 # sha256: oracle-reproducible (DuckDB has sha256, not sha1)
                 digest = _hashlib.sha256(payload).digest()
                 if do_fake:
