@@ -9,9 +9,11 @@ REAL pure-stdlib decode wherever the format allows it.
   dedup (:func:`image_exact_duplicates` — catches re-encoded duplicates).
 * WAV PCM SAMPLE decode — actual data-chunk samples
   (:func:`decode_wav_samples`) with exact integer signal statistics.
-* JPEG pixel decode stays unsupported: entropy decoding genuinely needs
-  libjpeg-class native code this container does not ship; the
-  ``fake_feature`` stand-in remains for payloads without a stdlib path.
+* BASELINE JPEG PIXEL decode — pure-python Huffman entropy decode +
+  IDCT (:mod:`~data2neo_spark.operators.jpeg`), dispatched through
+  :func:`decode_image` into the same stats/pHash/dedup paths;
+  progressive/arithmetic streams raise, and the ``fake_feature``
+  stand-in remains for payloads without a stdlib decode path.
 
 The synth generators (``synth_media`` / ``synth_images`` /
 ``synth_audio``) emit payloads whose bytes are built from pure integer
@@ -660,7 +662,7 @@ def with_phash(media: DataFrame) -> DataFrame:
             for rec in pdf.to_dict("records"):
                 payload = rec["payload"] or b""
                 try:
-                    decoded = decode_png_pixels(payload)
+                    decoded = decode_image(payload)   # PNG or baseline JPEG
                 except ValueError:
                     decoded = None
                 ph = phash_py(*decoded) if decoded else None
@@ -955,7 +957,7 @@ def with_pixel_hash(media: DataFrame) -> DataFrame:
             for rec in pdf.to_dict("records"):
                 payload = rec["payload"] or b""
                 try:
-                    decoded = decode_png_pixels(payload)
+                    decoded = decode_image(payload)   # PNG or baseline JPEG
                 except ValueError:
                     decoded = None
                 if decoded:

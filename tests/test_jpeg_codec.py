@@ -361,3 +361,42 @@ def test_gray_roundtrip_property():
         assert max(abs(a - b) for a, b in zip(got, pix)) <= 2
 
     _inner()
+
+
+def test_phash_cross_format(spark):
+    """The same texture encoded as PNG and as (near-lossless) JPEG lands
+    within a small pHash Hamming distance — cross-format near-dup
+    detection works through the shared decode dispatch."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    w_, h_ = 16, 16
+    pix = _texture(w_, h_)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    stride = w_
+    raw = bytearray()
+    for y in range(h_):
+        raw.append(0)
+        raw += bytes(pix[y * stride:(y + 1) * stride])
+    ihdr = struct.pack(">II", w_, h_) + b"\x08\x00\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    jpg = encode_gray(pix, w_, h_, [1] * 64)
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2], "kind": ["image", "image"],
+        "payload": [bytearray(png), bytearray(jpg)],
+        "mime": ["image/png", "image/jpeg"],
+    }))
+    sig = {r["media_id"]: r["phash"]
+           for r in multimodal.with_phash(df).collect()}
+    assert sig[1] is not None and sig[2] is not None
+    assert bin(sig[1] ^ sig[2]).count("1") <= 4
+    pairs = multimodal.phash_near_duplicates(df, max_hamming=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
