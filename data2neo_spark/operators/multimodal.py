@@ -67,8 +67,8 @@ def decode_image(payload: bytes):
     Returns ``(width, height, channels, bytes)`` where ``bytes`` is the
     row-major, channel-interleaved 8-bit pixel buffer. Raises
     ``ValueError`` for unrecognized payloads and for format features the
-    decoders do not cover (16-bit/interlaced PNG; progressive/arithmetic
-    JPEG).
+    decoders do not cover (16-bit PNG; progressive/arithmetic JPEG —
+    Adam7-interlaced PNGs DO decode).
     """
     pixels = decode_png_pixels(payload)
     if pixels is None:
@@ -86,18 +86,87 @@ def decode_image(payload: bytes):
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale, RGB, grey+A, RGBA
 
 
+def _unfilter_lines(raw, pos, stride, height, bpp):
+    """Unfilter ``height`` scanlines of ``stride`` packed bytes starting
+    at ``raw[pos]`` (all five RFC 2083 filters); returns
+    ``(next_pos, bytearray(height*stride))``."""
+    out = bytearray(height * stride)
+    for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG: raw stream truncated")
+        f = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        if len(line) != stride:
+            raise ValueError("PNG: raw stream truncated mid-scanline")
+        pos += 1 + stride
+        prev_off = (y - 1) * stride
+        if f == 0:                      # None
+            pass
+        elif f == 1:                    # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:                    # Up
+            if y > 0:
+                for x in range(stride):
+                    line[x] = (line[x] + out[prev_off + x]) & 0xFF
+        elif f == 3:                    # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up = out[prev_off + x] if y > 0 else 0
+                line[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:                    # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c_up = out[prev_off + x] if y > 0 else 0
+                c_ul = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + c_up - c_ul
+                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = c_up
+                else:
+                    pred = c_ul
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
+        out[y * stride:(y + 1) * stride] = line
+    return pos, out
+
+
+def _unpack_row(row, n_samples, bit_depth):
+    """Packed scanline bytes → list of sample values (MSB-first within
+    each byte for sub-8-bit depths)."""
+    if bit_depth == 8:
+        return list(row[:n_samples])
+    vals = []
+    mask = (1 << bit_depth) - 1
+    per_byte = 8 // bit_depth
+    for x in range(n_samples):
+        byte = row[x // per_byte]
+        shift = 8 - bit_depth * (x % per_byte + 1)
+        vals.append((byte >> shift) & mask)
+    return vals
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def decode_png_pixels(b: bytes):
     """Pure-python PNG pixel decode: chunk walk → zlib inflate of the
     concatenated IDAT stream → per-scanline unfilter (all five RFC 2083
-    filter types: None/Sub/Up/Average/Paeth) → bit unpack / palette map.
+    filter types: None/Sub/Up/Average/Paeth) → bit unpack / palette map,
+    with Adam7 interlace de-interleaving.
 
     Returns ``(width, height, channels, pixel_bytes)`` — always 8 bits
     per sample (sub-8-bit greys scale to 0..255, palette indices map to
     their RGB entries) — or ``None`` if the payload is not a PNG. Covers
-    the non-interlaced color types: greyscale (1/2/4/8-bit), RGB,
-    palette (1/2/4/8-bit + PLTE), grey+alpha, RGBA; raises ``ValueError``
-    on 16-bit depth and interlace. Chunk CRCs are not verified (the zlib
-    adler32 already covers the pixel data).
+    the color types greyscale (1/2/4/8-bit), RGB, palette (1/2/4/8-bit +
+    PLTE), grey+alpha, RGBA, progressive (Adam7) or not; raises
+    ``ValueError`` on 16-bit depth. Chunk CRCs are not verified (the
+    zlib adler32 already covers the pixel data).
     """
     import zlib
 
@@ -141,87 +210,59 @@ def decode_png_pixels(b: bytes):
                          f"(16-bit samples not implemented)")
     if is_palette and not plte:
         raise ValueError("PNG: palette image without PLTE chunk")
-    if interlace != 0:
-        raise ValueError("PNG: interlaced images unsupported")
-    samples_per_px = 1 if is_palette else _PNG_CHANNELS[color_type]
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
+    spp = 1 if is_palette else _PNG_CHANNELS[color_type]
+    bpp = max(1, (spp * bit_depth) // 8)
     raw = zlib.decompress(bytes(idat))
-    # filtering operates on the PACKED byte stream (RFC 2083: bpp rounds
-    # up to one byte for sub-byte depths)
-    stride = (width * samples_per_px * bit_depth + 7) // 8
-    if len(raw) != height * (1 + stride):
-        raise ValueError(
-            f"PNG: raw stream is {len(raw)} bytes, expected "
-            f"{height * (1 + stride)}"
-        )
-    out = bytearray(height * stride)
-    bpp = max(1, (samples_per_px * bit_depth) // 8)
-    for y in range(height):
-        f = raw[y * (1 + stride)]
-        line = bytearray(raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
-        prev_off = (y - 1) * stride
-        if f == 0:                      # None
-            pass
-        elif f == 1:                    # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif f == 2:                    # Up
-            if y > 0:
-                for x in range(stride):
-                    line[x] = (line[x] + out[prev_off + x]) & 0xFF
-        elif f == 3:                    # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                up = out[prev_off + x] if y > 0 else 0
-                line[x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif f == 4:                    # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                c_up = out[prev_off + x] if y > 0 else 0
-                c_ul = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
-                p = a + c_up - c_ul
-                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = c_up
-                else:
-                    pred = c_ul
-                line[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
-        out[y * stride:(y + 1) * stride] = line
 
-    if bit_depth == 8 and not is_palette:
-        return width, height, samples_per_px, bytes(out)
-
-    # unpack sub-byte samples (MSB-first within each byte, rows padded to
-    # byte boundaries) and resolve palette entries
-    def _row_samples(y):
-        row = out[y * stride:(y + 1) * stride]
-        if bit_depth == 8:
-            return row[:width]
-        vals = []
-        mask = (1 << bit_depth) - 1
-        per_byte = 8 // bit_depth
-        for x in range(width):
-            byte = row[x // per_byte]
-            shift = 8 - bit_depth * (x % per_byte + 1)
-            vals.append((byte >> shift) & mask)
-        return vals
-
-    px = bytearray()
-    if is_palette:
+    # sample grid at full resolution (one int per sample)
+    samples = [0] * (width * height * spp)
+    if interlace == 0:
+        stride = (width * spp * bit_depth + 7) // 8
+        if len(raw) != height * (1 + stride):
+            raise ValueError(
+                f"PNG: raw stream is {len(raw)} bytes, expected "
+                f"{height * (1 + stride)}"
+            )
+        _, packed = _unfilter_lines(raw, 0, stride, height, bpp)
         for y in range(height):
-            for v in _row_samples(y):
-                off = v * 3
-                if off + 3 > len(plte):
-                    raise ValueError(f"PNG: palette index {v} out of range")
-                px += plte[off:off + 3]
+            row = packed[y * stride:(y + 1) * stride]
+            samples[y * width * spp:(y + 1) * width * spp] = \
+                _unpack_row(row, width * spp, bit_depth)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full grid
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * spp * bit_depth + 7) // 8
+            pos, packed = _unfilter_lines(raw, pos, stride, ph, bpp)
+            for r in range(ph):
+                vals = _unpack_row(
+                    packed[r * stride:(r + 1) * stride], pw * spp, bit_depth)
+                y = y0 + r * dy
+                for c, v in enumerate(vals):
+                    x = x0 + (c // spp) * dx
+                    samples[(y * width + x) * spp + (c % spp)] = v
+        if pos != len(raw):
+            raise ValueError("PNG: interlaced stream has trailing bytes")
+
+    if is_palette:
+        px = bytearray()
+        for v in samples:
+            off = v * 3
+            if off + 3 > len(plte):
+                raise ValueError(f"PNG: palette index {v} out of range")
+            px += plte[off:off + 3]
         return width, height, 3, bytes(px)
+    if bit_depth == 8:
+        return width, height, spp, bytes(samples)
     scale = 255 // ((1 << bit_depth) - 1)
-    for y in range(height):
-        px += bytes(v * scale for v in _row_samples(y))
-    return width, height, 1, bytes(px)
+    return width, height, 1, bytes(v * scale for v in samples)
 
 
 def pixel_stats(b: bytes):

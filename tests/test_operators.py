@@ -1218,3 +1218,43 @@ def test_png_decode_palette_and_low_depth():
         multimodal.decode_png_pixels(png(2, 1, 16, 0, bytes(5)))
     with pytest.raises(ValueError):
         multimodal.decode_png_pixels(png(2, 2, 8, 3, raw))
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7-interlaced PNGs decode identically to their non-interlaced
+    twins — a hand-built encoder splits the image into the seven passes
+    (filter-0 rows) and the decoder scatters them back."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    for w, h, ch in [(10, 9, 1), (8, 8, 3), (5, 3, 1), (1, 1, 1)]:
+        pix = [(x * 31 + y * 7 + c * 13) % 256
+               for y in range(h) for x in range(w) for c in range(ch)]
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for r in range(ph):
+                raw.append(0)
+                y = y0 + r * dy
+                for pcol in range(pw):
+                    x = x0 + pcol * dx
+                    off = (y * w + x) * ch
+                    raw += bytes(pix[off:off + ch])
+        color = {1: 0, 3: 2}[ch]
+        ihdr = struct.pack(">II", w, h) + bytes([8, color, 0, 0, 1])
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        gw, gh, gch, got = multimodal.decode_png_pixels(png)
+        assert (gw, gh, gch) == (w, h, ch), (w, h, ch)
+        assert list(got) == pix, (w, h, ch)
