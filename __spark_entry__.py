@@ -5,9 +5,12 @@ operator IDs they exercise) plus the training-data operators (dedup /
 similarity / text analysis / multimodal). ``oracle_sql()`` gives a DuckDB
 equivalent for EVERY query — including MinHash/SimHash (md5-derived hash
 family, replayed in SQL), hyperplane LSH / IVF ANN (seeded planes / row
-centroids inlined as literals), and the multimodal stub (sha256 + byte
-length): the oracle re-runs the same algorithm, so approximate operators are
-verified value-for-value including their recall misses.
+centroids inlined as literals), and the multimodal decode queries (the
+synth payload hex — complete PNGs with stored-deflate IDAT and genuine
+adler32, WAVs with real PCM bytes — is rebuilt in SQL and the pixel/
+sample formulas are replayed into the same stats/pHash): the oracle
+re-runs the same algorithm, so approximate operators are verified
+value-for-value including their recall misses.
 """
 
 from __future__ import annotations
