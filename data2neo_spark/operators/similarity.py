@@ -302,6 +302,198 @@ def embedding_centroids(
     )
 
 
+def _pq_codebooks_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, s: int, n_codes: int
+) -> List[List[List[int]]]:
+    """codebooks[j][c] = micro-int subvector j of corpus row c (< n_codes)
+    — the SQL-reproducible codebook strategy (same idea as ivf_ann_topk's
+    ``rows``): no training pass, the DuckDB oracle replays the identical
+    assignment."""
+    import math
+
+    rows = (
+        corpus.where(F.col(id_col) < n_codes)
+        .orderBy(F.col(id_col))
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    micro = [[math.floor(float(x) * 1_000_000) for x in v] for v in rows]
+    return [[v[j * s : (j + 1) * s] for v in micro] for j in range(m)]
+
+
+def _pq_codebooks_kmeans(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    s: int,
+    n_codes: int,
+    sample_size: int,
+    seed: int,
+) -> List[List[List[int]]]:
+    """Per-subspace Lloyd k-means on a bounded deterministic driver sample
+    (the ivf_ann_topk pattern), micro-int quantized so encode/ADC stay
+    integer-exact."""
+    import math
+
+    sample = np.array(
+        corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype="float64",
+    )
+    rng = np.random.RandomState(seed)
+    books: List[List[List[int]]] = []
+    for j in range(m):
+        sub = sample[:, j * s : (j + 1) * s]
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(
+            [[math.floor(float(x) * 1_000_000) for x in cen] for cen in cents]
+        )
+    return books
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_max_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    codebook_strategy: str = "rows",
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors compress to
+    ``m`` sub-codes (one byte-ish code per ``dim/m``-wide subspace), and
+    query↔corpus distances come from per-query distance TABLES instead of
+    full float math — the memory-bound brute-force path of a billion-scale
+    index (IVF cells × PQ codes is the classic IVFADC composition; this is
+    the PQ half, ivf_ann_topk the IVF half).
+
+    All distances are squared-L2 over micro-int (floor(x·10⁶)) components:
+    integer-exact, so encode, the ADC lookup, AND the final ranking
+    hash-match the DuckDB oracle (``codebook_strategy="rows"`` — codebooks
+    are the first ``n_codes`` corpus rows; ``"kmeans"`` trains per-subspace
+    Lloyd on a bounded driver sample, same structure, better cells).
+
+    Shape at 100 TB: encoding is a zero-shuffle scan projection (the
+    codebook folds into the plan as literals — m·n_codes aggregate
+    expressions over s-wide slices); the corpus never moves — the ADC pass
+    broadcasts the query distance tables (m·n_codes longs per query) and
+    reads only (id, codes) — dim·4 bytes/row become ~m bytes/row, which is
+    the point of PQ; one window shuffle ranks the top-k per query.
+
+    Returns (query_id, neighbor_id, approx_d, rank), approx_d in squared
+    micro units.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    s = dim // m
+    if codebook_strategy == "rows":
+        books = _pq_codebooks_rows(corpus, id_col, vec_col, m, s, n_codes)
+    elif codebook_strategy == "kmeans":
+        books = _pq_codebooks_kmeans(
+            corpus, id_col, vec_col, m, s, n_codes, sample_size, seed
+        )
+    else:
+        raise ValueError(f"unknown codebook_strategy {codebook_strategy!r}")
+    n_codes = len(books[0])
+
+    vm = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1_000_000)).cast("long"),
+        ).alias("_vm"),
+    )
+
+    # the codebook folds in as ONE literal nested array (data, not 256
+    # separate aggregate expressions — m·n_codes distinct lambda trees made
+    # Catalyst analysis+codegen the dominant cost, the multimodal-synth
+    # lesson); nested HOF lambdas capture the subspace index j to slice _vm
+    books_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(int(v)) for v in code]) for code in books[j]
+        ])
+        for j in range(m)
+    ])
+
+    def _dist_to(code: Column, j: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_vm"), j * F.lit(s) + 1, s), code,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # corpus side: argmin code per subspace (ties → smallest code), one
+    # struct-array sort per subspace — all inside the scan stage
+    codes_expr = F.transform(
+        books_lit,
+        lambda b, j: F.element_at(
+            F.array_sort(
+                F.transform(
+                    b,
+                    lambda code, c: F.struct(
+                        _dist_to(code, j).alias("d"), c.alias("c")
+                    ),
+                )
+            ),
+            1,
+        ).getField("c"),
+    )
+    encoded = vm.select(
+        F.col(id_col).alias("neighbor_id"), codes_expr.alias("_codes")
+    )
+
+    # query side: full distance table (m × n_codes longs per query row)
+    qtab = vm.where(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            books_lit,
+            lambda b, j: F.transform(b, lambda code: _dist_to(code, j)),
+        ).alias("_qtab"),
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_qtab"), j),
+            F.element_at(F.col("_codes"), j) + 1,
+        ),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qtab))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.cast("long").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str,

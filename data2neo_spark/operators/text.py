@@ -495,6 +495,74 @@ def remove_shared_ngrams(
     )
 
 
+def remove_duplicate_lines_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_docs: int = 2,
+    keep: str = "none",
+    out_col: str = "text_cleaned",
+) -> DataFrame:
+    """CORPUS-level duplicate-line removal (the C4 recipe's cross-document
+    counterpart of :func:`dedupe_lines`): every line that appears in at
+    least ``min_docs`` DISTINCT documents is removed from all of them.
+    ``keep="first"`` retains the single globally-first occurrence (smallest
+    ``(id, position)`` — deterministic across cluster sizes); ``keep="none"``
+    (default) removes every occurrence, the boilerplate-nuke mode. Returns
+    the input plus ``out_col`` (rebuilt text) and ``n_lines_removed``.
+
+    Shape mirrors :func:`remove_shared_ngrams`: one posexplode of the line
+    stream → groupBy(line) with map-side partial distinct-doc count (and a
+    ``min(struct(id, pos))`` in the same aggregate — the keeper pick rides
+    the shuffle for free) → shared lines join back → per-doc covered
+    positions → zero-shuffle index filter rebuilds the text in the scan
+    stage. A line shared by k docs moves k rows — linear, never k². At
+    100 TB the line string is the shuffle key; hot boilerplate lines
+    ("privacy policy") are exactly the hot keys the partial aggregation
+    absorbs map-side before the exchange.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    bound = df.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    ex = bound.select(
+        F.col(id_col), F.posexplode(F.col("_lines")).alias("pos", "line")
+    )
+    shared = (
+        ex.groupBy("line")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_nd"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_first"),
+        )
+        .where(F.col("_nd") >= min_docs)
+        .select("line", "_first")
+    )
+    removed = ex.join(shared, "line")
+    if keep == "first":
+        removed = removed.where(
+            ~(
+                (F.col(id_col) == F.col("_first.i"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+    covered = removed.groupBy(id_col).agg(F.collect_list("pos").alias("_poss"))
+    cleaned = bound.join(covered, id_col, "left").withColumn(
+        "_cov",
+        F.when(
+            F.col("_poss").isNull(), F.array().cast("array<int>")
+        ).otherwise(F.col("_poss")),
+    )
+    kept = F.filter(
+        F.col("_lines"), lambda l, i: ~F.array_contains(F.col("_cov"), i)
+    )
+    return (
+        cleaned.withColumn(out_col, F.concat_ws("\n", kept))
+        .withColumn("n_lines_removed", F.size("_cov").cast("long"))
+        .drop("_lines", "_poss", "_cov")
+    )
+
+
 def with_unigram_scores(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -541,6 +609,113 @@ def with_unigram_scores(
         )
         .withColumn("avg_word_ppb", F.expr("_sppb div n_words"))
         .select(id_col, "n_words", "avg_word_ppb", "sum_surprise_bits")
+    )
+
+
+def _bigram_stream(
+    df: DataFrame, id_col: Optional[str], text_col: str
+) -> DataFrame:
+    """([id,] w1, w2) — one row per adjacent word pair. The pair array is
+    built inside the scan stage (sequence+element_at, zero shuffle); docs
+    shorter than 2 words emit nothing (sequence(0, -1) would count DOWN —
+    the same guard as remove_shared_ngrams)."""
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("w1"),
+            F.element_at(words, i + 2).alias("w2"),
+        ),
+    )
+    keep = [F.col(id_col)] if id_col is not None else []
+    return (
+        bound.where(F.size(words) >= 2)
+        .select(*keep, F.explode(pairs).alias("_p"))
+        .select(
+            *([id_col] if id_col is not None else []),
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
+        )
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", scale: int = 1_000_000
+) -> DataFrame:
+    """Corpus bigram language model: ``(w1, w2, c2, c1, cond_ppm, bits)``
+    where ``c2 = count(w1 w2)``, ``c1 = Σ_w c(w1 w)`` (the left-context
+    total), ``cond_ppm = (c2·scale) div c1`` — the integer-quantized
+    conditional probability P(w2|w1) — and ``bits = ilog2(c1) − ilog2(c2)``
+    (quantized −log₂ P, the surprisal). All integer-exact, so scoring is
+    hash-reproducible cross-engine (see with_unigram_scores on why float
+    ln() isn't); ilog2 is computed as ``length(bin(x)) - 1`` rather than
+    ``floor(log2(x))`` because float log2 rounds differently across engines
+    at exact powers of two (log(8)/log(2) can land just below 3.0).
+
+    Shape: one (w1, w2) groupBy with map-side partials, then a w1-keyed
+    whole-partition window for the left totals — two shuffles total, both
+    on model-sized (vocab²-bounded) data, independent of corpus width. At
+    100 TB the model is trained once (typically on a reference slice) and
+    reused; pass the result to with_bigram_lm_scores(model=...).
+    """
+    from pyspark.sql import Window
+
+    big = _bigram_stream(df, None, text_col)
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    m = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    return m.select(
+        "w1",
+        "w2",
+        "c2",
+        "c1",
+        F.expr(f"(c2 * {int(scale)}L) div c1").alias("cond_ppm"),
+        (F.length(F.bin("c1")) - F.length(F.bin("c2"))).cast("long").alias("bits"),
+    )
+
+
+def with_bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    model: Optional[DataFrame] = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style LM quality scoring, one step up from the unigram signal:
+    each document is scored by its bigrams' conditional probabilities under
+    a corpus bigram model (perplexity filtering without an external KenLM).
+    Per document:
+
+    * ``n_bigrams`` — adjacent-pair count (≥1; sub-2-word docs drop out);
+    * ``avg_cond_ppm`` — mean integer-quantized P(w2|w1): high = fluent /
+      formulaic, low = incoherent word soup;
+    * ``sum_bigram_bits`` — Σ quantized surprisal, the −log₂-perplexity
+      stand-in (sort ascending per token for "most predictable" docs).
+
+    ``model`` defaults to a model trained on ``df`` itself (self-scoring,
+    what the oracle verifies); the 100 TB flow trains once on a trusted
+    reference corpus via train_bigram_lm and broadcasts it here. Shape:
+    the doc→model join is size-gated broadcast (vocab²-bounded model) with
+    a (w1, w2)-keyed shuffle fallback, then one per-doc groupBy.
+    """
+    if model is None:
+        model = train_bigram_lm(df, text_col=text_col, scale=scale)
+    from .dedup import _should_broadcast
+
+    mside = model.select("w1", "w2", "cond_ppm", "bits")
+    if _should_broadcast(mside):
+        mside = F.broadcast(mside)
+    big = _bigram_stream(df, id_col, text_col)
+    scored = big.join(mside, ["w1", "w2"])
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cond_ppm").alias("_sppm"),
+            F.sum("bits").alias("sum_bigram_bits"),
+        )
+        .withColumn("avg_cond_ppm", F.expr("_sppm div n_bigrams"))
+        .select(id_col, "n_bigrams", "avg_cond_ppm", "sum_bigram_bits")
     )
 
 

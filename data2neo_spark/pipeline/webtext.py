@@ -212,6 +212,81 @@ def link_entities(mentions: DataFrame, assume_unambiguous: bool = False) -> Data
     )
 
 
+def link_entities_contextual(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_weight: int = 10,
+    overlap_weight: int = 3,
+) -> DataFrame:
+    """Entity DISAMBIGUATION — the north rule's "entity-link scoring" with
+    an AMBIGUOUS dictionary (several candidate entities per surface), the
+    step plain link_entities can't do: the winner depends on the document,
+    not just the surface.
+
+    ``candidates`` columns: (surface, entity_id, canonical, prior, desc) —
+    ``prior`` an integer popularity prior, ``desc`` a space-separated bag
+    of context terms. Score per (doc, surface, candidate):
+
+        score = prior·prior_weight
+              + |context ∩ desc_terms|·overlap_weight
+
+    where context = the document's distinct tokens restricted to the
+    candidate description vocabulary (so the carried context array is
+    bounded by the dictionary, not the document). Winner per (doc, surface)
+    = max score, ties to the smallest entity_id. Integer-exact, so the
+    DuckDB oracle hash-verifies every score.
+
+    Shape: the dictionary (surfaces + desc vocabulary) folds into the scan
+    as literal arrays — mention detection AND context extraction are
+    zero-shuffle higher-order expressions; candidates broadcast-join on
+    surface; one (doc, surface) max_by hash aggregation picks winners (no
+    sort-based window). At 100 TB the only corpus-wide movement is that
+    single partial-agg shuffle of ~1 row per mention; dictionaries beyond
+    broadcast size take detect_mentions' join strategy instead.
+    """
+    rows = candidates.select("surface", "desc").collect()
+    surfaces = sorted({r["surface"] for r in rows})
+    vocab = sorted({t for r in rows for t in r["desc"].split(" ") if t})
+    surf_arr = F.array(*[F.lit(s) for s in surfaces])
+    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+
+    # bind the word array once; ONE consumer per expensive higher-order
+    # expression (whole-stage codegen does not CSE lambda expressions)
+    bound = docs.select(
+        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("_dw")
+    )
+    mentions = bound.select(
+        F.col(id_col),
+        F.array_intersect(F.col("_dw"), vocab_arr).alias("_ctx"),
+        F.explode(F.array_intersect(F.col("_dw"), surf_arr)).alias("surface"),
+    )
+    cand = candidates.withColumn("_desc_arr", F.split(F.col("desc"), " "))
+    scored = mentions.join(
+        F.broadcast(cand.select("surface", "entity_id", "canonical", "prior", "_desc_arr")),
+        "surface",
+    ).withColumn(
+        "score",
+        (
+            F.col("prior") * F.lit(int(prior_weight))
+            + F.size(F.array_intersect(F.col("_ctx"), F.col("_desc_arr")))
+            * F.lit(int(overlap_weight))
+        ).cast("long"),
+    )
+    order = F.struct(F.col("score"), -F.col("entity_id"))
+    picked = scored.groupBy(id_col, "surface").agg(
+        F.max_by(F.struct("entity_id", "canonical", "score"), order).alias("_best")
+    )
+    return picked.select(
+        id_col,
+        "surface",
+        F.col("_best.entity_id").alias("entity_id"),
+        F.col("_best.canonical").alias("canonical"),
+        F.col("_best.score").alias("score"),
+    )
+
+
 def pages_to_triples(
     pages: DataFrame,
     entity_dict: DataFrame,

@@ -1258,3 +1258,181 @@ def test_png_adam7_interlace_decode():
         gw, gh, gch, got = multimodal.decode_png_pixels(png)
         assert (gw, gh, gch) == (w, h, ch), (w, h, ch)
         assert list(got) == pix, (w, h, ch)
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN
+# ---------------------------------------------------------------------------
+
+def _pq_replay(vecs, m, n_codes, qmax, k):
+    """Pure-python PQ replay (rows codebooks): the ground truth the Spark
+    plan must reproduce bit-for-bit."""
+    import math
+
+    micro = [[math.floor(x * 1_000_000) for x in v] for v in vecs]
+    s = len(vecs[0]) // m
+    books = [[micro[c][j * s:(j + 1) * s] for c in range(n_codes)]
+             for j in range(m)]
+
+    def d(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    codes = {
+        i: [min(range(n_codes),
+                key=lambda c: (d(v[j * s:(j + 1) * s], books[j][c]), c))
+            for j in range(m)]
+        for i, v in enumerate(micro)
+    }
+    out = []
+    for q in range(qmax):
+        dt = [[d(micro[q][j * s:(j + 1) * s], books[j][c])
+               for c in range(n_codes)] for j in range(m)]
+        scored = sorted(
+            (sum(dt[j][codes[n][j]] for j in range(m)), n)
+            for n in range(len(vecs)) if n != q
+        )
+        out.extend((q, n, dd, r) for r, (dd, n) in enumerate(scored[:k], 1))
+    return out
+
+
+def test_pq_ann_topk_rows_matches_python_replay(spark):
+    vecs = [[((i * 7 + j * 3) % 13) * 0.25 for j in range(8)]
+            for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id: long, embedding: array<double>"
+    )
+    got = sorted(
+        tuple(r) for r in similarity.pq_ann_topk(
+            df, "vec_id", "embedding", dim=8, query_max_id=2, k=3,
+            m=4, n_codes=4, codebook_strategy="rows",
+        ).collect()
+    )
+    assert got == sorted(_pq_replay(vecs, m=4, n_codes=4, qmax=2, k=3))
+
+
+def test_pq_ann_topk_kmeans_shape_and_self_exclusion(spark):
+    vecs = [[((i * 5 + j) % 11) * 0.5 for j in range(8)] for i in range(16)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id: long, embedding: array<double>"
+    )
+    rows = similarity.pq_ann_topk(
+        df, "vec_id", "embedding", dim=8, query_max_id=3, k=5,
+        m=2, n_codes=4, codebook_strategy="kmeans", sample_size=16,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, 6))
+
+
+def test_pq_ann_topk_rejects_bad_args(spark):
+    df = spark.createDataFrame([(0, [0.0] * 8)], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_ann_topk(df, "vec_id", "embedding", dim=8, query_max_id=1, m=3)
+    with pytest.raises(ValueError, match="codebook_strategy"):
+        similarity.pq_ann_topk(
+            df, "vec_id", "embedding", dim=8, query_max_id=1,
+            codebook_strategy="nope",
+        )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate-line removal
+# ---------------------------------------------------------------------------
+
+def test_remove_duplicate_lines_corpus_none_and_first(spark):
+    df = spark.createDataFrame(
+        [(0, "u0\nshared\nfoo"), (1, "u1\nshared\nbar\nshared"),
+         (2, "unique only")],
+        "doc_id: long, text: string",
+    )
+    none = {
+        r["doc_id"]: (r["text_cleaned"], r["n_lines_removed"])
+        for r in text.remove_duplicate_lines_corpus(df, "doc_id").collect()
+    }
+    assert none[0] == ("u0\nfoo", 1)
+    assert none[1] == ("u1\nbar", 2)
+    assert none[2] == ("unique only", 0)
+
+    first = {
+        r["doc_id"]: (r["text_cleaned"], r["n_lines_removed"])
+        for r in text.remove_duplicate_lines_corpus(
+            df, "doc_id", keep="first"
+        ).collect()
+    }
+    assert first[0] == ("u0\nshared\nfoo", 0)  # globally-first kept
+    assert first[1] == ("u1\nbar", 2)
+    assert first[2] == ("unique only", 0)
+
+    with pytest.raises(ValueError, match="keep"):
+        text.remove_duplicate_lines_corpus(df, "doc_id", keep="last")
+
+
+# ---------------------------------------------------------------------------
+# bigram language model
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_model_and_scores(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "solo")],
+        "doc_id: long, text: string",
+    )
+    model = {
+        (r["w1"], r["w2"]): (r["c2"], r["c1"], r["cond_ppm"], r["bits"])
+        for r in text.train_bigram_lm(df).collect()
+    }
+    assert model == {
+        ("a", "b"): (3, 3, 1_000_000, 0),
+        ("b", "a"): (1, 3, 333_333, 1),
+        ("b", "c"): (1, 3, 333_333, 1),
+        ("b", "x"): (1, 3, 333_333, 1),
+    }
+    scores = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_cond_ppm"], r["sum_bigram_bits"])
+        for r in text.with_bigram_lm_scores(df, "doc_id").collect()
+    }
+    # doc 2 has a single word -> no bigrams -> drops out
+    assert scores == {0: (4, 666_666, 2), 1: (2, 666_666, 1)}
+
+
+# ---------------------------------------------------------------------------
+# contextual entity disambiguation
+# ---------------------------------------------------------------------------
+
+def test_link_entities_contextual(spark):
+    from data2neo_spark.pipeline.webtext import link_entities_contextual
+
+    docs = spark.createDataFrame(
+        [(0, "spark query join batch"), (1, "spark fast slow row"),
+         (2, "spark sun"), (3, "no entities here"),
+         (4, "spark window query sort")],
+        "doc_id: long, text: string",
+    )
+    cands = spark.createDataFrame(
+        [("spark", 1, "Apache_Spark", 5, "query join shuffle batch stream"),
+         ("spark", 2, "Spark_Plug", 3, "fast slow part row"),
+         ("spark", 3, "Spark_Bird", 5, "tree wing"),
+         ("window", 10, "Window_Function", 2, "query sort order agg"),
+         ("window", 11, "Window_Glass", 2, "glass pane house")],
+        "surface: string, entity_id: long, canonical: string, prior: long, desc: string",
+    )
+    got = {
+        (r["doc_id"], r["surface"]): (r["entity_id"], r["score"])
+        for r in link_entities_contextual(
+            docs, cands, prior_weight=1, overlap_weight=3
+        ).collect()
+    }
+    assert got == {
+        # context beats prior: 3 desc terms overlap
+        (0, "spark"): (1, 5 + 9),
+        # lower-prior candidate wins on context
+        (1, "spark"): (2, 3 + 9),
+        # no context anywhere: equal-scoring tie -> smallest entity_id
+        (2, "spark"): (1, 5),
+        # two surfaces in one doc, each disambiguated independently
+        (4, "spark"): (1, 5 + 3),
+        (4, "window"): (10, 2 + 6),
+    }
