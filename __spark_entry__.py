@@ -1239,6 +1239,19 @@ def _window_events(spark, sf_dir):
     )
 
 
+def _sim_ivfpq(spark, sf_dir):
+    """IVFADC (IVF coarse quantizer + PQ residual codes, rows strategies):
+    the billion-scale composition — per query, 2 probed cells, ADC over
+    8 sub-codes of the residual; every distance integer-exact."""
+    from data2neo_spark.operators.similarity import ivfpq_ann_topk
+
+    return ivfpq_ann_topk(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, query_max_id=5, k=10, n_cells=8, n_probe=2, m=8,
+        n_codes=16,
+    )
+
+
 def _sim_pq(spark, sf_dir):
     """Product-quantization ANN (rows codebooks — SQL-reproducible): vectors
     compress to 8 sub-codes over 8-wide subspaces, query↔corpus distance via
@@ -1342,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_disambig": _kg_entity_disambig,
         "text_dup_lines_corpus": _text_dup_lines_corpus,
         "sim_pq": _sim_pq,
+        "sim_ivfpq": _sim_ivfpq,
         "sim_quantize": _sim_quantize,
         "text_tfidf": _text_tfidf,
         "text_pack_sequences": _text_pack_sequences,
@@ -2270,6 +2284,84 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 10
     """
+    # sim_ivfpq (IVFADC, rows quantizers): centroids = micro rows < 8;
+    # residual codebooks = residuals of rows < 16 w.r.t. their own cells;
+    # queries probe 2 cells, ADC re-joins the query's per-cell tables
+    sim_ivfpq = """
+        WITH v AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+            FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cid, vm AS cvm FROM v WHERE vec_id < 8
+        ), dcell AS (
+            SELECT v.vec_id, c.cid,
+                   list_sum(list_transform(range(1, 65), i ->
+                     (v.vm[i] - c.cvm[i]) * (v.vm[i] - c.cvm[i]))) AS d
+            FROM v CROSS JOIN cent c
+        ), cellr AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d, cid) AS r
+            FROM dcell
+        ), assign AS (
+            SELECT vec_id, cid AS cell FROM cellr WHERE r = 1
+        ), resid AS (
+            SELECT v.vec_id, a.cell,
+                   list_transform(range(1, 65), i -> v.vm[i] - c.cvm[i])
+                       AS rm
+            FROM v JOIN assign a USING (vec_id)
+            JOIN cent c ON c.cid = a.cell
+        ), books AS (
+            SELECT vec_id AS bid, brm FROM (
+                SELECT vec_id, rm AS brm FROM resid WHERE vec_id < 16
+            )
+        ), sub AS (
+            SELECT r.vec_id, b.bid, j.j,
+                   list_sum(list_transform(range(1, 9), i ->
+                     (r.rm[j.j*8 + i] - b.brm[j.j*8 + i])
+                     * (r.rm[j.j*8 + i] - b.brm[j.j*8 + i]))) AS d
+            FROM resid r CROSS JOIN books b
+            CROSS JOIN (SELECT range AS j FROM range(8)) j
+        ), codes AS (
+            SELECT vec_id, j, bid AS code FROM (
+                SELECT vec_id, j, bid,
+                       row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY d, bid) AS rr
+                FROM sub
+            ) WHERE rr = 1
+        ), probes AS (
+            SELECT vec_id, cid AS cell FROM cellr
+            WHERE vec_id < 5 AND r <= 2
+        ), qres AS (
+            SELECT p.vec_id, p.cell,
+                   list_transform(range(1, 65), i -> v.vm[i] - c.cvm[i])
+                       AS rm
+            FROM probes p JOIN v USING (vec_id)
+            JOIN cent c ON c.cid = p.cell
+        ), qsub AS (
+            SELECT q.vec_id, q.cell, b.bid, j.j,
+                   list_sum(list_transform(range(1, 9), i ->
+                     (q.rm[j.j*8 + i] - b.brm[j.j*8 + i])
+                     * (q.rm[j.j*8 + i] - b.brm[j.j*8 + i]))) AS d
+            FROM qres q CROSS JOIN books b
+            CROSS JOIN (SELECT range AS j FROM range(8)) j
+        ), scored AS (
+            SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(qs.d) AS BIGINT) AS approx_d
+            FROM codes c
+            JOIN assign a ON a.vec_id = c.vec_id
+            JOIN qsub qs ON qs.cell = a.cell AND qs.j = c.j
+                        AND qs.bid = c.code
+            WHERE qs.vec_id <> c.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_d,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_d, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+    """
     # text_dup_lines_corpus: structured view + per-doc_id%5 footer; lines in
     # ≥2 distinct docs are removed except the globally-first (doc_id, pos)
     dup_lines_corpus = f"""
@@ -2367,6 +2459,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "sim_pq": sim_pq,
+        "sim_ivfpq": sim_ivfpq,
         "text_dup_lines_corpus": dup_lines_corpus,
         "text_bigram_lm": bigram_lm,
         "kg_entity_disambig": entity_disambig,

@@ -66,6 +66,12 @@ def train_merges(corpus: str, n_merges: int) -> List[Tuple[str, str]]:
     for w in corpus.split():
         key = tuple(w)
         freqs[key] = freqs.get(key, 0) + 1
+    return _train_from_freqs(freqs, n_merges)
+
+
+def _train_from_freqs(
+    freqs: Dict[Tuple[str, ...], int], n_merges: int
+) -> List[Tuple[str, str]]:
     merges: List[Tuple[str, str]] = []
     for _ in range(n_merges):
         counts: Dict[Tuple[str, str], int] = {}
@@ -99,6 +105,42 @@ def train_merges(corpus: str, n_merges: int) -> List[Tuple[str, str]]:
 @lru_cache(maxsize=1)
 def default_merges() -> Tuple[Tuple[str, str], ...]:
     return tuple(train_merges(SEED_CORPUS, N_MERGES))
+
+
+def train_merges_from_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+    max_vocab: int = 100_000,
+) -> List[Tuple[str, str]]:
+    """Train a merges table FROM a DataFrame corpus — the way real
+    tokenizers are trained (on the word-frequency table, not the raw
+    stream). The corpus-wide work is ONE distributed word-count groupBy
+    with map-side partials; the merge loop then runs driver-side over that
+    table, which is vocabulary-bounded (Heaps' law — ~10⁵–10⁶ distinct
+    words even at 100 TB) and further capped at the ``max_vocab`` most
+    frequent words (ties → lexicographically smaller word), so driver
+    memory is bounded regardless of corpus size. Dropping the long tail of
+    hapax words is what production BPE trainers (min_frequency cutoffs) do
+    anyway and barely perturbs pair counts.
+
+    Deterministic: the (count desc, word asc) cap order and the Sennrich
+    tie-breaks are total orders, so the same corpus yields the same merges
+    at any parallelism. Feed the result to :func:`with_bpe_token_count` /
+    ``tokenizer="bpe"`` surfaces via ``merges=``, or persist it with
+    :func:`save_merges_file`.
+    """
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_vocab)
+        .collect()
+    )
+    freqs = {tuple(r["w"]): r["c"] for r in rows}
+    return _train_from_freqs(freqs, n_merges)
 
 
 def load_merges_file(path: str) -> List[Tuple[str, str]]:

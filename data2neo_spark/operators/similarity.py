@@ -529,3 +529,185 @@ def quantize_embeddings(
         quant.alias("q"),
         F.floor(m * F.lit(1_000_000)).cast("long").alias("scale_micro"),
     )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_max_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011) — the billion-scale composition of the
+    two halves this module already ships: an IVF coarse quantizer prunes
+    the corpus to ``n_probe`` cells per query, and inside the cells
+    distances come from PQ codes over RESIDUALS (vector − cell centroid)
+    via per-(query, cell) ADC tables. This is the memory layout every
+    production ANN index (faiss IVFx,PQy) uses: the corpus stores one
+    cell id + m sub-codes per vector.
+
+    ``rows`` strategies on both quantizers (centroids = micro-int rows
+    ``< n_cells``, residual codebooks = the residuals of rows
+    ``< n_codes``) keep every distance an exact integer, so cell
+    assignment, encode, probe order, ADC, and the final ranking all
+    hash-match the DuckDB oracle. For trained quantizers use the halves'
+    ``kmeans`` strategies as drop-in codebook sources.
+
+    Shape at 100 TB: encoding is a zero-shuffle scan projection — both
+    quantizer tables fold into the plan as literals (n_cells·dim +
+    m·n_codes·(dim/m) ints ≈ KBs), and the per-row work is bound ONCE per
+    expensive intermediate (micro vector, cell, residual) via
+    single-element ``transform(array(e), v -> ...)`` bindings because
+    whole-stage codegen does not CSE higher-order expressions. The query
+    side (query_max_id·n_probe rows, each carrying an m·n_codes ADC
+    table) broadcasts; the corpus joins on its stored cell id without
+    moving; one window shuffle ranks the top-k.
+    """
+    import math
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    s = dim // m
+    need = max(n_cells, n_codes)
+    seed_rows = (
+        corpus.where(F.col(id_col) < need)
+        .orderBy(F.col(id_col))
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    micro = [[math.floor(float(x) * 1_000_000) for x in v] for v in seed_rows]
+    cents = micro[:n_cells]
+
+    def _l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # codebooks = residuals of the first n_codes rows w.r.t. their own
+    # (ties -> smallest index) cell — the exact integer math the plan and
+    # the oracle replay
+    books = []
+    res_rows = []
+    for v in micro[:n_codes]:
+        cell = min(range(n_cells), key=lambda c: (_l2(v, cents[c]), c))
+        res_rows.append([x - y for x, y in zip(v, cents[cell])])
+    books = [[r[j * s:(j + 1) * s] for r in res_rows] for j in range(m)]
+
+    cents_lit = F.array(*[
+        F.array(*[F.lit(int(x)) for x in ce]) for ce in cents
+    ])
+    books_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(int(x)) for x in code]) for code in books[j]])
+        for j in range(m)
+    ])
+
+    micro_expr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000)).cast("long"),
+    )
+
+    def _dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _bind(expr: Column, fn) -> Column:
+        # evaluate `expr` exactly once: WSCG does not CSE higher-order
+        # expressions, so every expensive array intermediate gets a single
+        # lambda-bound consumer
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    def _cell_ranking(vm: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                cents_lit,
+                lambda ce, i: F.struct(_dist(vm, ce).alias("d"), i.alias("i")),
+            )
+        )
+
+    def _residual(vm: Column, cell: Column) -> Column:
+        return F.zip_with(
+            vm, F.element_at(cents_lit, cell + 1), lambda x, y: x - y
+        )
+
+    def _subdist(res: Column, code: Column, j: Column) -> Column:
+        return _dist(F.slice(res, j * F.lit(s) + 1, s), code)
+
+    def _codes_of(res: Column) -> Column:
+        return F.transform(
+            books_lit,
+            lambda b, j: F.element_at(
+                F.array_sort(
+                    F.transform(
+                        b,
+                        lambda code, c: F.struct(
+                            _subdist(res, code, j).alias("d"), c.alias("c")
+                        ),
+                    )
+                ),
+                1,
+            ).getField("c"),
+        )
+
+    enc = _bind(micro_expr, lambda vm: _bind(
+        F.element_at(_cell_ranking(vm), 1).getField("i"),
+        lambda cell: F.struct(
+            cell.alias("cell"),
+            _bind(_residual(vm, cell), _codes_of).alias("codes"),
+        ),
+    ))
+    corpus_enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc.alias("_e")
+    ).select("neighbor_id", "_e.cell", "_e.codes")
+
+    probes_expr = _bind(micro_expr, lambda vm: F.transform(
+        F.slice(_cell_ranking(vm), 1, n_probe),
+        lambda p: F.struct(
+            p.getField("i").alias("cell"),
+            _bind(
+                _residual(vm, p.getField("i")),
+                lambda res: F.transform(
+                    books_lit,
+                    lambda b, j: F.transform(
+                        b, lambda code: _subdist(res, code, j)
+                    ),
+                ),
+            ).alias("qtab"),
+        ),
+    ))
+    qp = (
+        corpus.where(F.col(id_col) < query_max_id)
+        .select(F.col(id_col).alias("query_id"),
+                F.explode(probes_expr).alias("_p"))
+        .select("query_id", F.col("_p.cell").alias("cell"),
+                F.col("_p.qtab").alias("_qtab"))
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_qtab"), j),
+            F.element_at(F.col("codes"), j) + 1,
+        ),
+    )
+    scored = (
+        corpus_enc.join(F.broadcast(qp), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.cast("long").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d", "rank")
+    )

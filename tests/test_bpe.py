@@ -191,3 +191,40 @@ def test_gpt2_byte_remap_and_count(spark):
            for r in bpe.with_gpt2_token_count(df, merges).collect()}
     # "w w w" → pieces w, Ġw, Ġw → 1 + 1 + 1 = 3 tokens
     assert got[0] == 3 and got[1] == 0
+
+
+def test_train_merges_from_corpus_matches_string_trainer(spark):
+    """Distributed training == the pure-python string trainer on the same
+    corpus (vocab under the cap, so no truncation)."""
+    from data2neo_spark.operators import bpe
+
+    texts = [
+        "the engine scans the table and the table sorts",
+        "the stream joins the table while the engine waits",
+        "scans and sorts flow through the stream engine",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = bpe.train_merges_from_corpus(df, n_merges=30)
+    want = bpe.train_merges(" ".join(texts), 30)
+    assert got == want
+    assert len(got) > 5  # actually learned something
+
+    # trained merges drive the encoder: 'the' collapses to one token
+    ranks = {p: i for i, p in enumerate(got)}
+    assert bpe.encode_word("the", ranks) == ["the"]
+
+
+def test_train_merges_from_corpus_max_vocab_cap(spark):
+    """The cap keeps the most frequent words (ties -> lexicographic) and
+    training still runs on the truncated table."""
+    from data2neo_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(0, "aa aa aa bb bb zz")], "doc_id: long, text: string"
+    )
+    # cap to 2 words: aa (3) and bb (2) survive, zz is dropped
+    got = bpe.train_merges_from_corpus(df, n_merges=5, max_vocab=2)
+    want = bpe.train_merges("aa aa aa bb bb", 5)
+    assert got == want

@@ -1436,3 +1436,79 @@ def test_link_entities_contextual(spark):
         (4, "spark"): (1, 5 + 3),
         (4, "window"): (10, 2 + 6),
     }
+
+
+def _ivfpq_replay(vecs, n_cells, n_probe, m, n_codes, qmax, k):
+    """Pure-python IVFADC replay (rows quantizers) — the integer ground
+    truth for the Spark plan."""
+    import math
+
+    micro = [[math.floor(x * 1_000_000) for x in v] for v in vecs]
+    cents = micro[:n_cells]
+    s = len(vecs[0]) // m
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cellrank(v):
+        return sorted(range(n_cells), key=lambda c: (l2(v, cents[c]), c))
+
+    res_rows = []
+    for v in micro[:n_codes]:
+        c = cellrank(v)[0]
+        res_rows.append([x - y for x, y in zip(v, cents[c])])
+    books = [[r[j * s:(j + 1) * s] for r in res_rows] for j in range(m)]
+    cellof = {i: cellrank(v)[0] for i, v in enumerate(micro)}
+
+    def resid(v, c):
+        return [x - y for x, y in zip(v, cents[c])]
+
+    codes = {}
+    for i, v in enumerate(micro):
+        r = resid(v, cellof[i])
+        codes[i] = [
+            min(range(n_codes),
+                key=lambda c: (l2(r[j * s:(j + 1) * s], books[j][c]), c))
+            for j in range(m)
+        ]
+    out = []
+    for q in range(qmax):
+        cand = []
+        for pc in cellrank(micro[q])[:n_probe]:
+            r = resid(micro[q], pc)
+            dt = [[l2(r[j * s:(j + 1) * s], books[j][c])
+                   for c in range(n_codes)] for j in range(m)]
+            cand.extend(
+                (sum(dt[j][codes[n][j]] for j in range(m)), n)
+                for n, cl in cellof.items() if cl == pc and n != q
+            )
+        out.extend((q, n, dd, rk)
+                   for rk, (dd, n) in enumerate(sorted(cand)[:k], 1))
+    return out
+
+
+def test_ivfpq_ann_topk_matches_python_replay(spark):
+    vecs = [[((i * 7 + j * 3) % 13) * 0.25 - 1.0 for j in range(8)]
+            for i in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = sorted(
+        tuple(r) for r in similarity.ivfpq_ann_topk(
+            df, "vec_id", "embedding", dim=8, query_max_id=2, k=4,
+            n_cells=4, n_probe=2, m=4, n_codes=8,
+        ).collect()
+    )
+    want = sorted(_ivfpq_replay(vecs, n_cells=4, n_probe=2, m=4,
+                                n_codes=8, qmax=2, k=4))
+    assert got == want
+
+
+def test_ivfpq_ann_topk_rejects_bad_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivfpq_ann_topk(df, "vec_id", "embedding", dim=8,
+                                  query_max_id=1, m=3)
