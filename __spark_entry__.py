@@ -1239,6 +1239,26 @@ def _window_events(spark, sf_dir):
     )
 
 
+def _kg_canonical_pairs(spark, sf_dir):
+    """North-rule canonicalization stage: supplier names + planted
+    last-char typos, near-duplicate name pairs via SymSpell delete-1
+    blocking, levenshtein-verified — exact recall at distance ≤ 1, every
+    pair + distance value-verified."""
+    from data2neo_spark.operators.entities import name_near_duplicates
+
+    sup = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("ent_id"),
+        F.col("s_name").alias("name"),
+    )
+    typo = sup.where(F.col("ent_id") % 3 == 0).select(
+        (F.col("ent_id") + 1_000_000).alias("ent_id"),
+        F.concat(
+            F.expr("substr(name, 1, length(name) - 1)"), F.lit("X")
+        ).alias("name"),
+    )
+    return name_near_duplicates(sup.unionByName(typo), "ent_id", "name")
+
+
 def _sim_ivfpq(spark, sf_dir):
     """IVFADC (IVF coarse quantizer + PQ residual codes, rows strategies):
     the billion-scale composition — per query, 2 probed cells, ADC over
@@ -1356,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_lines_corpus": _text_dup_lines_corpus,
         "sim_pq": _sim_pq,
         "sim_ivfpq": _sim_ivfpq,
+        "kg_canonical_pairs": _kg_canonical_pairs,
         "sim_quantize": _sim_quantize,
         "text_tfidf": _text_tfidf,
         "text_pack_sequences": _text_pack_sequences,
@@ -2284,6 +2305,33 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rank <= 10
     """
+    # kg_canonical_pairs: SymSpell symmetric-delete blocking — a pair
+    # within levenshtein distance 1 must share a key in {s} ∪ deletes₁(s)
+    canonical_pairs = """
+        WITH ents AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS ent_id, s_name AS name
+            FROM supplier
+            UNION ALL
+            SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+                   substr(s_name, 1, length(s_name) - 1) || 'X'
+            FROM supplier WHERE s_suppkey % 3 = 0
+        ), keys AS (
+            SELECT ent_id, name, unnest(list_distinct(list_append(
+                list_transform(generate_series(1, length(name)),
+                  i -> substr(name, 1, i - 1)
+                       || substr(name, i + 1, length(name))),
+                name))) AS key
+            FROM ents
+        ), pairs AS (
+            SELECT DISTINCT a.ent_id AS id_a, b.ent_id AS id_b,
+                            a.name AS name_a, b.name AS name_b
+            FROM keys a JOIN keys b
+              ON a.key = b.key AND a.ent_id < b.ent_id
+        )
+        SELECT id_a, id_b, name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+        FROM pairs WHERE levenshtein(name_a, name_b) <= 1
+    """
     # sim_ivfpq (IVFADC, rows quantizers): centroids = micro rows < 8;
     # residual codebooks = residuals of rows < 16 w.r.t. their own cells;
     # queries probe 2 cells, ADC re-joins the query's per-cell tables
@@ -2460,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,
+        "kg_canonical_pairs": canonical_pairs,
         "text_dup_lines_corpus": dup_lines_corpus,
         "text_bigram_lm": bigram_lm,
         "kg_entity_disambig": entity_disambig,

@@ -1512,3 +1512,76 @@ def test_ivfpq_ann_topk_rejects_bad_dim(spark):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.ivfpq_ann_topk(df, "vec_id", "embedding", dim=8,
                                   query_max_id=1, m=3)
+
+
+# ---------------------------------------------------------------------------
+# entity-name resolution (SymSpell delete-1 blocking + levenshtein verify)
+# ---------------------------------------------------------------------------
+
+def test_name_near_duplicates_exact_recall(spark):
+    from data2neo_spark.operators import entities
+
+    rows = [
+        (1, "acme corp"), (2, "acme corpX"),   # d=1 (insertion)
+        (3, "acme korp"),                       # d=1 vs 1 (substitution)
+        (4, "acme"), (5, "acme"),               # d=0 (identical)
+        (6, "zzz unrelated"),
+        (7, "amce corp"),                       # d=2 vs 1 (transposition) -> NOT found
+    ]
+    df = spark.createDataFrame(rows, "ent_id: long, name: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in entities.name_near_duplicates(df, "ent_id", "name").collect()
+    }
+    # brute-force ground truth at d<=1
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+    want = {
+        (a, b): lev(na, nb)
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 1
+    }
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (4, 5) in got
+    assert not any(7 in p for p in got)
+
+
+def test_name_near_duplicates_bucket_cap_star(spark):
+    from data2neo_spark.operators import entities
+
+    # 5 identical names: exact mode -> all 10 pairs; cap=2 -> star pairs
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(5)], "ent_id: long, name: string"
+    )
+    exact = entities.name_near_duplicates(df, "ent_id", "name").collect()
+    assert len(exact) == 10
+    starred = entities.name_near_duplicates(
+        df, "ent_id", "name", max_bucket_size=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in starred} == {
+        (0, 1), (0, 2), (0, 3), (0, 4)
+    }
+
+
+def test_canonicalize_names_transitive(spark):
+    from data2neo_spark.operators import entities
+
+    # chain: ab ~ ax ~ xx (ab-xx is d=2, still same cluster transitively)
+    df = spark.createDataFrame(
+        [(10, "ab"), (11, "ax"), (12, "xx"), (13, "qqqq")],
+        "ent_id: long, name: string",
+    )
+    got = {
+        r["ent_id"]: (r["canonical_id"], r["canonical_name"])
+        for r in entities.canonicalize_names(df, "ent_id", "name").collect()
+    }
+    assert got == {
+        10: (10, "ab"), 11: (10, "ab"), 12: (10, "ab"), 13: (13, "qqqq")
+    }
