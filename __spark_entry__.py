@@ -1259,6 +1259,42 @@ def _kg_canonical_pairs(spark, sf_dir):
     return name_near_duplicates(sup.unionByName(typo), "ent_id", "name")
 
 
+def _kg_fuse(spark, sf_dir):
+    """Knowledge fusion (truth discovery): five extractors claim `brand`
+    and `size` facts about every part with md5-seeded error rates
+    0%..80% per source; two-round accuracy-weighted voting fuses one
+    object per (part, predicate). Counts and scaled accuracies are all
+    integer, so the oracle replays the fused table bit-for-bit — the
+    scale-out replacement for the reference's last-writer-wins MERGE
+    (data2neo/neo4j/graph_elements.py:206-264)."""
+    from data2neo_spark.operators.dedup import md5_hash60
+    from data2neo_spark.operators.fusion import fuse_claims
+
+    base = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("s"),
+    )
+
+    def claims(pred, truth_col, salt):
+        h = md5_hash60(
+            F.concat_ws("|", F.lit(salt), F.col("s"), F.col("p_partkey"))
+        )
+        return base.select(
+            F.col("p_partkey").cast("long").alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.when(
+                F.pmod(h, F.lit(10)) < F.col("s") * 2,
+                F.concat(F.lit("WRONG#"), F.pmod(h, F.lit(7)).cast("string")),
+            ).otherwise(F.col(truth_col).cast("string")).alias("obj"),
+            F.concat(F.lit("src"), F.col("s").cast("string")).alias("source"),
+        )
+
+    c = claims("brand", "p_brand", "fb").unionByName(
+        claims("size", "p_size", "fs")
+    )
+    return fuse_claims(c)
+
+
 def _sim_ivfpq(spark, sf_dir):
     """IVFADC (IVF coarse quantizer + PQ residual codes, rows strategies):
     the billion-scale composition — per query, 2 probed cells, ADC over
@@ -1371,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query has a driver-green row in some round.
     return {
         # round-5 late additions — never driver-checked, so they lead
+        "kg_fuse": _kg_fuse,
         "text_bigram_lm": _text_bigram_lm,
         "kg_entity_disambig": _kg_entity_disambig,
         "text_dup_lines_corpus": _text_dup_lines_corpus,
@@ -2505,7 +2542,58 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY doc_id, surface
                 ORDER BY score DESC, entity_id) = 1
     """
+    # kg_fuse: two-round weighted voting replayed exactly — round-0
+    # majority (ties: greater obj), integer-floored source accuracy,
+    # accuracy-weighted round 1 (ties: votes, then greater obj)
+    kg_fuse = """
+        WITH base AS (
+            SELECT p_partkey, p_brand, p_size, s
+            FROM part CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS s)
+        ), claims AS (
+            SELECT CAST(p_partkey AS BIGINT) AS subj, 'brand' AS pred,
+                   CASE WHEN h % 10 < s * 2
+                        THEN 'WRONG#' || CAST(h % 7 AS VARCHAR)
+                        ELSE p_brand END AS obj,
+                   'src' || CAST(s AS VARCHAR) AS source
+            FROM (SELECT *, CAST(concat('0x', substr(md5(
+                      concat('fb', '|', s, '|', p_partkey)), 1, 15))
+                      AS BIGINT) AS h FROM base)
+            UNION ALL
+            SELECT CAST(p_partkey AS BIGINT), 'size',
+                   CASE WHEN h % 10 < s * 2
+                        THEN 'WRONG#' || CAST(h % 7 AS VARCHAR)
+                        ELSE CAST(p_size AS VARCHAR) END,
+                   'src' || CAST(s AS VARCHAR)
+            FROM (SELECT *, CAST(concat('0x', substr(md5(
+                      concat('fs', '|', s, '|', p_partkey)), 1, 15))
+                      AS BIGINT) AS h FROM base)
+        ), votes AS (
+            SELECT DISTINCT subj, pred, obj, source FROM claims
+        ), counted AS (
+            SELECT subj, pred, obj, COUNT(*) AS n_votes
+            FROM votes GROUP BY 1, 2, 3
+        ), w0 AS (
+            SELECT subj, pred, obj AS obj0 FROM counted
+            QUALIFY row_number() OVER (PARTITION BY subj, pred
+                    ORDER BY n_votes DESC, obj DESC) = 1
+        ), acc AS (
+            SELECT source,
+                   (1000000 * SUM(CASE WHEN v.obj = w0.obj0
+                                       THEN 1 ELSE 0 END)) // COUNT(*) AS acc
+            FROM votes v JOIN w0 USING (subj, pred) GROUP BY source
+        ), weighted AS (
+            SELECT v.subj, v.pred, v.obj, COUNT(*) AS n_sources,
+                   SUM(a.acc) AS weight
+            FROM votes v JOIN acc a USING (source) GROUP BY 1, 2, 3
+        )
+        SELECT subj, pred, obj, CAST(n_sources AS BIGINT) AS n_sources,
+               CAST(weight AS BIGINT) AS weight
+        FROM weighted
+        QUALIFY row_number() OVER (PARTITION BY subj, pred
+                ORDER BY weight DESC, n_sources DESC, obj DESC) = 1
+    """
     return {
+        "kg_fuse": kg_fuse,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,
         "kg_canonical_pairs": canonical_pairs,
