@@ -1259,6 +1259,18 @@ def _kg_canonical_pairs(spark, sf_dir):
     return name_near_duplicates(sup.unionByName(typo), "ent_id", "name")
 
 
+def _kg_node_history(spark, sf_dir):
+    """Temporal KG (SCD2): each user's event_type observations collapse
+    into validity intervals [valid_from, valid_to) — the history the
+    reference's last-writer-wins MERGE discards. One exchange on the
+    key; change windows, version aggregate, and the valid_to lead all
+    reuse it. Oracle replays the identical window arithmetic."""
+    from data2neo_spark.operators.temporal import scd2_intervals
+
+    obs = _read(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_intervals(obs, ["user_id"], ["event_type"], "ts")
+
+
 def _kg_fuse(spark, sf_dir):
     """Knowledge fusion (truth discovery): five extractors claim `brand`
     and `size` facts about every part with md5-seeded error rates
@@ -1408,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 late additions — never driver-checked, so they lead
         "kg_fuse": _kg_fuse,
+        "kg_node_history": _kg_node_history,
         "text_bigram_lm": _text_bigram_lm,
         "kg_entity_disambig": _kg_entity_disambig,
         "text_dup_lines_corpus": _text_dup_lines_corpus,
@@ -2592,8 +2605,37 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY subj, pred
                 ORDER BY weight DESC, n_sources DESC, obj DESC) = 1
     """
+    # kg_node_history: SCD2 interval collapse — first observation always
+    # opens an interval, same-ts ties order by the value tuple, valid_to
+    # is the NEXT version's valid_from (NULL for the open interval)
+    kg_node_history = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN row_number() OVER w = 1 THEN 1
+                        WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        ), versioned AS (
+            SELECT user_id, ts, event_type,
+                   SUM(chg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_type ROWS UNBOUNDED PRECEDING)
+                       AS version
+            FROM flagged
+        ), grouped AS (
+            SELECT user_id, version, event_type, MIN(ts) AS valid_from,
+                   COUNT(*) AS n_obs
+            FROM versioned GROUP BY 1, 2, 3
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                   AS valid_to,
+               CAST(n_obs AS BIGINT) AS n_obs
+        FROM grouped
+    """
     return {
         "kg_fuse": kg_fuse,
+        "kg_node_history": kg_node_history,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,
         "kg_canonical_pairs": canonical_pairs,

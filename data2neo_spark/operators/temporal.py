@@ -170,3 +170,59 @@ def range_join(
         )
         .drop("_bucket")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: List[str],
+    value_cols: List[str],
+    ts_col: str,
+    n_obs_col: str = "n_obs",
+) -> DataFrame:
+    """Collapse timestamped per-key observations into SCD2 validity
+    intervals — the temporal-KG counterpart of the reference's
+    last-writer-wins node MERGE (data2neo/neo4j/graph_elements.py:206-264
+    keeps only the final property value; a web-crawl corpus carries
+    `warc_ts`, so the history IS recoverable).
+
+    For each key, observations ordered by (ts, values) are split whenever
+    the value tuple changes (null-safe struct compare; the first
+    observation always opens an interval), consecutive identical
+    observations collapse, and each interval reports
+    ``(keys…, values…, valid_from, valid_to, n_obs)`` with ``valid_to``
+    NULL for the currently-valid version. Ties at the same timestamp with
+    different values are ordered by the value tuple — deterministic and
+    SQL-replayable.
+
+    Scale shape: ONE exchange on the key columns; the change-flag window,
+    cumulative version sum, per-version aggregate, and the valid_to lead
+    all reuse that partitioning (grouping/partition keys are supersets of
+    the exchange keys), so Spark inserts sorts but no further shuffles.
+    A single hot key serializes into one partition's sort — inherent to
+    per-key ordering; pre-split by coarse time range if one entity
+    dominates (same contract as asof_join).
+    """
+    cur = F.struct(*[F.col(v) for v in value_cols])
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *value_cols)
+    flagged = df.select(
+        *key_cols, ts_col, *value_cols,
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise((~cur.eqNullSafe(F.lag(cur).over(w))).cast("int"))
+        .alias("_chg"),
+    )
+    versioned = flagged.select(
+        *key_cols, ts_col, *value_cols,
+        F.sum("_chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_version"),
+    )
+    grouped = versioned.groupBy(*key_cols, "_version", *value_cols).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias(n_obs_col),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("_version")
+    return grouped.select(
+        *key_cols, *value_cols, "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        n_obs_col,
+    )

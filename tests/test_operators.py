@@ -1585,3 +1585,47 @@ def test_canonicalize_names_transitive(spark):
     assert got == {
         10: (10, "ab"), 11: (10, "ab"), 12: (10, "ab"), 13: (13, "qqqq")
     }
+
+
+def test_scd2_intervals(spark):
+    from data2neo_spark.operators.temporal import scd2_intervals
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, s)
+    obs = spark.createDataFrame(
+        [
+            ("u1", t(1), "A"), ("u1", t(2), "A"), ("u1", t(3), "B"),
+            ("u1", t(5), "B"), ("u1", t(8), "A"),
+            ("u2", t(4), "X"),
+        ],
+        "user string, ts timestamp, state string",
+    )
+    out = scd2_intervals(obs, ["user"], ["state"], "ts")
+    rows = {(r.user, r.valid_from.day): (r.state, r.valid_to.day if r.valid_to else None, r.n_obs)
+            for r in out.collect()}
+    # consecutive identical observations collapse; re-appearing value opens
+    # a NEW interval (A,B,A = three intervals, not two)
+    assert rows[("u1", 1)] == ("A", 3, 2)
+    assert rows[("u1", 3)] == ("B", 8, 2)
+    assert rows[("u1", 8)] == ("A", None, 1)
+    assert rows[("u2", 4)] == ("X", None, 1)
+
+
+def test_scd2_same_ts_tie_and_single_shuffle(spark):
+    from data2neo_spark.operators.temporal import scd2_intervals
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        [("u", t, "B"), ("u", t, "A")], "user string, ts timestamp, state string"
+    )
+    out = scd2_intervals(obs, ["user"], ["state"], "ts")
+    # one exchange total: windows, version groupBy, and lead all reuse the
+    # key partitioning (assert pre-action — the post-AQE string repeats
+    # the original plan under the materialized stage)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    rows = sorted((r.state, r.n_obs) for r in out.collect())
+    # same-ts ties order by value tuple: A opens first, B follows
+    assert rows == [("A", 1), ("B", 1)]
