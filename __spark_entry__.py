@@ -1259,6 +1259,26 @@ def _kg_canonical_pairs(spark, sf_dir):
     return name_near_duplicates(sup.unionByName(typo), "ent_id", "name")
 
 
+def _graph_triangles(spark, sf_dir):
+    """Entity co-occurrence graph (parts sharing an order, 10% order
+    sample, groups capped to their 8 lowest items) → per-node triangle
+    counts via the degree-ordered wedge algorithm — hub wedges form at
+    their LOW-degree neighbors, so pivot out-degree is O(√E). Oracle
+    replays the cap, orientation, and wedge joins exactly."""
+    from data2neo_spark.operators.graph import (
+        cooccurrence_edges, triangle_counts,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group_size=8)
+    return triangle_counts(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).withColumn("node", F.col("node").cast("long"))
+
+
 def _kg_node_history(spark, sf_dir):
     """Temporal KG (SCD2): each user's event_type observations collapse
     into validity intervals [valid_from, valid_to) — the history the
@@ -1421,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 late additions — never driver-checked, so they lead
         "kg_fuse": _kg_fuse,
         "kg_node_history": _kg_node_history,
+        "graph_triangles": _graph_triangles,
         "text_bigram_lm": _text_bigram_lm,
         "kg_entity_disambig": _kg_entity_disambig,
         "text_dup_lines_corpus": _text_dup_lines_corpus,
@@ -2633,9 +2654,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_obs AS BIGINT) AS n_obs
         FROM grouped
     """
+    # graph_triangles: degree-ordered wedge triangle counting — row-value
+    # comparisons replay the (degree, id) orientation; each triangle is
+    # found exactly once at its order-minimal pivot
+    graph_triangles = """
+        WITH gi AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+            FROM lineitem WHERE l_orderkey % 10 = 0
+        ), capped AS (
+            SELECT g, item FROM gi
+            QUALIFY row_number() OVER (PARTITION BY g ORDER BY item) <= 8
+        ), e AS (
+            SELECT DISTINCT x.item AS a, y.item AS b
+            FROM capped x JOIN capped y ON x.g = y.g AND x.item < y.item
+        ), deg AS (
+            SELECT v, COUNT(*) AS degree FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v
+        ), o AS (
+            SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                        THEN e.a ELSE e.b END AS lo,
+                   CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                        THEN e.b ELSE e.a END AS hi,
+                   CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                        THEN db.degree ELSE da.degree END AS dhi
+            FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        ), wedges AS (
+            SELECT x.lo AS pvt, x.hi AS v2, y.hi AS w2
+            FROM o x JOIN o y ON x.lo = y.lo
+            WHERE (x.dhi, x.hi) < (y.dhi, y.hi)
+        ), tri AS (
+            SELECT wg.pvt, wg.v2, wg.w2
+            FROM wedges wg JOIN o ON wg.v2 = o.lo AND wg.w2 = o.hi
+        ), pn AS (
+            SELECT node, COUNT(*) AS triangles FROM (
+                SELECT pvt AS node FROM tri
+                UNION ALL SELECT v2 FROM tri
+                UNION ALL SELECT w2 FROM tri)
+            GROUP BY node
+        )
+        SELECT CAST(deg.v AS BIGINT) AS node,
+               CAST(deg.degree AS BIGINT) AS degree,
+               CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles
+        FROM deg LEFT JOIN pn ON deg.v = pn.node
+    """
     return {
         "kg_fuse": kg_fuse,
         "kg_node_history": kg_node_history,
+        "graph_triangles": graph_triangles,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,
         "kg_canonical_pairs": canonical_pairs,

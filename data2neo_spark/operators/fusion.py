@@ -95,7 +95,10 @@ def fuse_claims(claims: DataFrame, subj: str = "subj", pred: str = "pred",
     accuracy. ``scale`` is the integer accuracy denominator (round-0
     agreement fraction × scale, floored).
     """
-    votes = _votes(claims, subj, pred, obj, source).persist()
+    # no persist: the votes distinct is a shuffle subtree shared by the
+    # accuracy branch and the weighted branch — ReuseExchange deduplicates
+    # it inside the single final plan
+    votes = _votes(claims, subj, pred, obj, source)
     acc = _accuracy_from_votes(votes, scale).select("source", "acc")
     # one row per source — broadcast; the claim set is never reshuffled
     # by the accuracy join
@@ -111,5 +114,4 @@ def fuse_claims(claims: DataFrame, subj: str = "subj", pred: str = "pred",
             F.struct("weight", "n_sources", "obj"),
         ).alias("w")
     ).select("subj", "pred", "w.obj", "w.n_sources", "w.weight")
-    votes.unpersist()
     return fused

@@ -163,3 +163,130 @@ def degree_stats(
         )
 
     return side(src, "out").unionByName(side(dst, "in"))
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int = None,
+) -> DataFrame:
+    """Entity co-occurrence graph: an undirected weighted edge (a, b,
+    weight) for every pair of distinct items appearing in the same group
+    (entities on the same page, parts in the same order), with weight =
+    number of shared groups. The canonical mention-graph builder for a
+    KG pipeline — downstream of the converter, upstream of
+    triangle/community analytics.
+
+    Pair emission is quadratic in group size by definition, so
+    ``max_group_size`` caps each group to its ``max_group_size`` LOWEST
+    items (sorted prefix, same contract as the incremental-dedup corpus
+    cap in operators/dedup.py) — deterministic and SQL-replayable, and
+    it bounds the blowup of degenerate hub groups (a page mentioning
+    thousands of entities). One exchange on the group key: the cap
+    window and the pair self-join both reuse it; the final weight
+    groupBy shuffles once on (a, b) with map-side partials.
+    """
+    from pyspark.sql import Window
+
+    gi = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_group_size is not None:
+        w = Window.partitionBy("g").orderBy("item")
+        gi = (
+            gi.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_group_size)
+            .drop("_rk")
+        )
+    a = gi.select("g", F.col("item").alias("a"))
+    b = gi.select("g", F.col("item").alias("b"))
+    return (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count over an undirected graph — (node, degree,
+    triangles), the local clustering structure of the KG (triangles/
+    (degree·(degree−1)/2) is the clustering coefficient; kept as exact
+    integers so the result is value-hash verifiable).
+
+    Degree-ordered wedge algorithm (the compact-forward scheme, public
+    knowledge from the triangle-listing literature): canonicalize to
+    a < b undirected edges, then orient every edge from its lower-
+    (degree, id) endpoint to the higher one. Each node's oriented
+    out-degree is O(√E), so the wedge self-join emits O(E^1.5) rows
+    worst-case instead of Σ deg² — hub nodes get wedges formed at their
+    LOW-degree neighbors, which is the entire skew story: a 10⁷-degree
+    hub contributes no pivot wedges at all. Joins: one self-join on the
+    pivot, one closing-edge equi join, one 3-way explode + groupBy for
+    per-node counts.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by (degree, id): lower endpoint -> higher endpoint
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lower_first, F.col("dega")).otherwise(F.col("degb")).alias("dlo"),
+        F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias("dhi"),
+    )
+    # wedges at the pivot: two out-edges (pivot->v, pivot->w) with v
+    # before w in the (deg, id) order; the closing edge, if present, is
+    # oriented v->w by construction
+    x = oriented.select(
+        F.col("lo").alias("pivot"), F.col("hi").alias("v"),
+        F.col("dhi").alias("dv"),
+    )
+    y = oriented.select(
+        F.col("lo").alias("pivot"), F.col("hi").alias("w"),
+        F.col("dhi").alias("dw"),
+    )
+    wedges = x.join(y, "pivot").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("pivot", "v", "w")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("pivot"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.select(F.col("v").alias("node"), "degree").join(
+        per_node, "node", "left"
+    ).select(
+        "node", "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+    )
+    return out

@@ -1629,3 +1629,50 @@ def test_scd2_same_ts_tie_and_single_shuffle(spark):
     rows = sorted((r.state, r.n_obs) for r in out.collect())
     # same-ts ties order by value tuple: A opens first, B follows
     assert rows == [("A", 1), ("B", 1)]
+
+
+def test_cooccurrence_edges(spark):
+    from data2neo_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 2), ("g2", 3),
+         ("g2", 3)],  # duplicate mention collapses
+        "g string, item long",
+    )
+    out = {(r.a, r.b): r.weight for r in
+           cooccurrence_edges(df, "g", "item").collect()}
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+    # cap keeps the LOWEST items per group: g1 capped to {1,2}
+    capped = {(r.a, r.b): r.weight for r in
+              cooccurrence_edges(df, "g", "item", max_group_size=2).collect()}
+    assert capped == {(1, 2): 1, (2, 3): 1}
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    from data2neo_spark.operators.graph import triangle_counts
+    import itertools
+
+    k4 = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    path = [(10, 11), (11, 12)]
+    # reversed/duplicate/self edges must canonicalize away
+    edges = spark.createDataFrame(
+        k4 + path + [(2, 1), (3, 3)], "src long, dst long"
+    )
+    out = {r.node: (r.degree, r.triangles) for r in
+           triangle_counts(edges).collect()}
+    assert all(out[n] == (3, 3) for n in [1, 2, 3, 4])
+    assert out[10] == (1, 0) and out[11] == (2, 0) and out[12] == (1, 0)
+    # total triangles = sum/3 = 4 (every K4 triple)
+    assert sum(t for _, t in out.values()) == 12
+
+
+def test_triangle_counts_hub_star(spark):
+    from data2neo_spark.operators.graph import triangle_counts
+
+    # star hub + one closing edge: exactly one triangle; the hub's pivot
+    # out-degree stays tiny under degree orientation (scale contract)
+    star = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    out = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert out[0] == 1 and out[1] == 1 and out[2] == 1
+    assert sum(out.values()) == 3
