@@ -1259,6 +1259,45 @@ def _kg_canonical_pairs(spark, sf_dir):
     return name_near_duplicates(sup.unionByName(typo), "ent_id", "name")
 
 
+def _kg_svo_triples(spark, sf_dir):
+    """Pattern-based relation extraction: md5-seeded acquisition /
+    headquarters sentences planted into ~60%/30% of documents, recovered
+    as (doc_id, subj, pred, obj) by the full DEFAULT_PATTERNS set (one
+    regexp_extract_all + single-consumer explode per pattern, groups
+    re-extracted from the short match). Oracle replays the planting and
+    all four patterns with DuckDB's lockstep unnest."""
+    from data2neo_spark.operators.dedup import md5_hash60
+    from data2neo_spark.operators.relations import extract_svo
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def h(salt, mod):
+        return F.pmod(
+            md5_hash60(F.concat_ws("|", F.lit(salt), F.col("doc_id"))),
+            F.lit(mod),
+        )
+
+    sent1 = F.when(
+        h("sv0", 10) < 6,
+        F.concat(
+            F.lit("Acme"), h("sv1", 50).cast("string"),
+            F.lit(" acquired Beta"), h("sv2", 50).cast("string"), F.lit("."),
+        ),
+    )
+    sent2 = F.when(
+        h("sv3", 10) < 3,
+        F.concat(
+            F.lit("Corp"), h("sv4", 40).cast("string"),
+            F.lit(" is based in City"), h("sv5", 30).cast("string"),
+            F.lit("."),
+        ),
+    )
+    planted = docs.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), sent1, sent2).alias("text")
+    )
+    return extract_svo(planted)
+
+
 def _graph_triangles(spark, sf_dir):
     """Entity co-occurrence graph (parts sharing an order, 10% order
     sample, groups capped to their 8 lowest items) → per-node triangle
@@ -1440,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 late additions — never driver-checked, so they lead
         "kg_fuse": _kg_fuse,
+        "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
         "graph_triangles": _graph_triangles,
         "text_bigram_lm": _text_bigram_lm,
@@ -2698,8 +2738,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles
         FROM deg LEFT JOIN pn ON deg.v = pn.node
     """
+    # kg_svo_triples: all four DEFAULT_PATTERNS replayed (two can match
+    # planted sentences; the other two must replay too in case the word
+    # soup ever matches) — parallel unnest zips subj/obj lists in lockstep
+    kg_svo_triples = r"""
+        WITH h AS (
+            SELECT doc_id, text,
+                CAST(concat('0x', substr(md5(concat('sv0','|',doc_id)),1,15)) AS BIGINT) % 10 AS h0,
+                CAST(concat('0x', substr(md5(concat('sv1','|',doc_id)),1,15)) AS BIGINT) % 50 AS h1,
+                CAST(concat('0x', substr(md5(concat('sv2','|',doc_id)),1,15)) AS BIGINT) % 50 AS h2,
+                CAST(concat('0x', substr(md5(concat('sv3','|',doc_id)),1,15)) AS BIGINT) % 10 AS h3,
+                CAST(concat('0x', substr(md5(concat('sv4','|',doc_id)),1,15)) AS BIGINT) % 40 AS h4,
+                CAST(concat('0x', substr(md5(concat('sv5','|',doc_id)),1,15)) AS BIGINT) % 30 AS h5
+            FROM documents
+        ), planted AS (
+            SELECT doc_id, concat_ws(' ', text,
+                CASE WHEN h0 < 6 THEN 'Acme' || CAST(h1 AS VARCHAR)
+                     || ' acquired Beta' || CAST(h2 AS VARCHAR) || '.' END,
+                CASE WHEN h3 < 3 THEN 'Corp' || CAST(h4 AS VARCHAR)
+                     || ' is based in City' || CAST(h5 AS VARCHAR) || '.' END
+            ) AS text
+            FROM h
+        ), m1 AS (
+            SELECT doc_id,
+                unnest(regexp_extract_all(text, '(\w+) acquired (\w+)', 1)) AS subj,
+                unnest(regexp_extract_all(text, '(\w+) acquired (\w+)', 2)) AS obj
+            FROM planted
+        ), m2 AS (
+            SELECT doc_id,
+                unnest(regexp_extract_all(text, '(\w+) is based in (\w+)', 1)) AS subj,
+                unnest(regexp_extract_all(text, '(\w+) is based in (\w+)', 2)) AS obj
+            FROM planted
+        ), m3 AS (
+            SELECT doc_id,
+                unnest(regexp_extract_all(text, '(\w+), chief executive of (\w+)', 1)) AS subj,
+                unnest(regexp_extract_all(text, '(\w+), chief executive of (\w+)', 2)) AS obj
+            FROM planted
+        ), m4 AS (
+            SELECT doc_id,
+                unnest(regexp_extract_all(text, '(\w+) founded (\w+)', 1)) AS subj,
+                unnest(regexp_extract_all(text, '(\w+) founded (\w+)', 2)) AS obj
+            FROM planted
+        )
+        SELECT DISTINCT doc_id, subj, pred, obj FROM (
+            SELECT doc_id, subj, 'ACQUIRED' AS pred, obj FROM m1
+            UNION ALL SELECT doc_id, subj, 'BASED_IN', obj FROM m2
+            UNION ALL SELECT doc_id, subj, 'CEO_OF', obj FROM m3
+            UNION ALL SELECT doc_id, subj, 'FOUNDED', obj FROM m4
+        )
+    """
     return {
         "kg_fuse": kg_fuse,
+        "kg_svo_triples": kg_svo_triples,
         "kg_node_history": kg_node_history,
         "graph_triangles": graph_triangles,
         "sim_pq": sim_pq,

@@ -1676,3 +1676,40 @@ def test_triangle_counts_hub_star(spark):
     out = {r.node: r.triangles for r in triangle_counts(edges).collect()}
     assert out[0] == 1 and out[1] == 1 and out[2] == 1
     assert sum(out.values()) == 3
+
+
+def test_extract_svo_patterns(spark):
+    from data2neo_spark.operators.relations import extract_svo
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Acme acquired Beta. Gamma is based in Paris."),
+            (2, "noise only, nothing here"),
+            (3, "X founded Y and X founded Y"),  # distinct collapses
+            (4, "Jo, chief executive of Acme, spoke."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.subj, r.pred, r.obj) for r in extract_svo(docs).collect()}
+    assert out == {
+        (1, "Acme", "ACQUIRED", "Beta"),
+        (1, "Gamma", "BASED_IN", "Paris"),
+        (3, "X", "FOUNDED", "Y"),
+        (4, "Jo", "CEO_OF", "Acme"),
+    }
+
+
+def test_extract_svo_custom_patterns_and_plan(spark):
+    from data2neo_spark.operators.relations import extract_svo
+
+    docs = spark.createDataFrame(
+        [(1, "a likes b, c likes d")], "doc_id long, text string"
+    )
+    out = extract_svo(docs, patterns=[("LIKES", r"(\w+) likes (\w+)")])
+    # zero shuffles before the final distinct (pre-action plan: the
+    # post-AQE string repeats the original plan under the final one)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    rows = {(r.subj, r.obj) for r in out.collect()}
+    assert rows == {("a", "b"), ("c", "d")}
