@@ -1225,6 +1225,27 @@ def _range_join_events(spark, sf_dir):
     return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
 
 
+def _events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (operators/temporal.py:sessionize):
+    per-user sessions split at >30 min inactivity, summarized per session.
+    One exchange on user_id; lag flag + running sum + aggregate all reuse
+    it. Pure timestamp arithmetic (no epoch floats) — exact boundaries,
+    replayable as lag+cumsum SQL. Batch counterpart of the streaming
+    sessionization in streaming/ingest.py."""
+    from data2neo_spark.operators.temporal import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return session_stats(
+        ev, ["user_id"], "ts", gap_seconds=1800, order_cols=["event_id"]
+    ).select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+    )
+
+
 def _window_events(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -1478,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query has a driver-green row in some round.
     return {
         # round-5 late additions — never driver-checked, so they lead
+        "events_sessionize": _events_sessionize,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3304,5 +3326,24 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, event_id,"
+            "    CASE WHEN lag(ts) OVER w IS NULL THEN 1"
+            "         WHEN ts > lag(ts) OVER w + INTERVAL 1800 SECOND THEN 1"
+            "         ELSE 0 END AS new_s"
+            "  FROM events"
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), sess AS ("
+            "  SELECT user_id, ts,"
+            "    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq"
+            "  FROM flagged"
+            ") SELECT user_id, session_seq,"
+            "  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,"
+            "  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,"
+            "  count(*) AS n_events "
+            "FROM sess GROUP BY user_id, session_seq"
         ),
     }

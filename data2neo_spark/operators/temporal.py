@@ -226,3 +226,65 @@ def scd2_intervals(
         F.lead("valid_from").over(w2).alias("valid_to"),
         n_obs_col,
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: Optional[List[str]] = None,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based batch sessionization: number each key's events into
+    sessions, opening a new session whenever the gap to the previous
+    event exceeds ``gap_seconds``. The batch counterpart of the
+    streaming sessionization in ``streaming/ingest.py`` — same session
+    boundaries, replayable as plain SQL (lag + cumulative sum).
+
+    ``order_cols`` breaks timestamp ties deterministically (default: the
+    remaining columns are NOT used; pass e.g. ``["event_id"]``).
+
+    Adds ``session_col`` (1-based per key) to every input row.
+
+    Scale shape: ONE exchange on ``key_cols``; the gap flag (lag) and the
+    session number (running sum) share that partitioning, so Spark plans
+    a single shuffle plus an in-partition sort. Purely timestamp
+    arithmetic — no epoch floats, so the boundary test is exact and
+    engine-portable.
+    """
+    tiebreak = order_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak)
+    new_flag = (
+        F.when(F.lag(ts_col).over(w).isNull(), F.lit(1))
+        .otherwise(
+            (
+                F.col(ts_col)
+                > F.lag(ts_col).over(w) + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+            ).cast("int")
+        )
+    )
+    return df.withColumn(
+        session_col,
+        F.sum(new_flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Per-session summary over :func:`sessionize`:
+    ``(keys…, session_seq, session_start, session_end, n_events)``.
+    The groupBy keys are a superset of the sessionize exchange keys, so
+    the aggregate reuses the same single shuffle (partial aggregation
+    map-side)."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds, order_cols=order_cols)
+    return s.groupBy(*key_cols, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1713,3 +1713,36 @@ def test_extract_svo_custom_patterns_and_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     rows = {(r.subj, r.obj) for r in out.collect()}
     assert rows == {("a", "b"), ("c", "d")}
+
+
+def test_sessionize_boundaries_and_single_shuffle(spark):
+    from data2neo_spark.operators.temporal import session_stats, sessionize
+    import datetime as dt
+    import re
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda secs: t0 + dt.timedelta(seconds=secs)
+    ev = spark.createDataFrame(
+        [
+            # u1: two events 10s apart, then a 1801s gap -> new session,
+            # then exactly 1800s -> SAME session (boundary is strict >)
+            (1, s(0), 100), (1, s(10), 101), (1, s(1811), 102), (1, s(3611), 103),
+            # u2: single event
+            (2, s(5), 200),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    tagged = sessionize(ev, ["user_id"], "ts", 1800, order_cols=["event_id"])
+    got = {r.event_id: r.session_seq for r in tagged.collect()}
+    assert got == {100: 1, 101: 1, 102: 2, 103: 2, 200: 1}
+
+    stats = session_stats(ev, ["user_id"], "ts", 1800, order_cols=["event_id"])
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    # lag flag, running sum, and the per-session aggregate all reuse ONE
+    # exchange on user_id
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    rows = {(r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+            for r in stats.collect()}
+    assert rows[(1, 1)] == (2, s(0), s(10))
+    assert rows[(1, 2)] == (2, s(1811), s(3611))
+    assert rows[(2, 1)] == (1, s(5), s(5))
