@@ -213,6 +213,33 @@ ENTITY("nation"):
     return store.triples(include_properties=True)
 
 
+def _kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples serialization of the graph (sinks/rdf_export.py):
+    edge triples as IRI lines, node properties as typed/plain literals
+    with spec ECHAR escaping — the `note` property embeds quotes and a
+    backslash so the escape chain is value-verified cross-engine. Zero
+    shuffles beyond the store build: one narrow projection per frame."""
+    from data2neo_spark import Converter
+    from data2neo_spark.sinks.rdf_export import ntriples_lines
+
+    schema = """
+ENTITY("nation"):
+    NODE("Nation") n:
+        + key = INT(nation.n_nationkey)
+        - name = nation.n_name
+        - note = nation.n_note
+    NODE("Region") r:
+        + rkey = INT(nation.n_regionkey)
+    RELATIONSHIP(n, "IN_REGION", r):
+"""
+    nation = _read(spark, sf_dir, "nation").withColumn(
+        "n_note",
+        F.concat(F.lit('says "'), F.col("n_name"), F.lit('" via C:\\kg')),
+    )
+    store = Converter(schema, [("nation", nation)])(spark)
+    return ntriples_lines(store)
+
+
 def _kg_dynamic_rel_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 dynamic relationship type (type from a row value) + A4 ghost merge:
     one edge per (user, event_type, day)."""
@@ -1500,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 late additions — never driver-checked, so they lead
         "events_sessionize": _events_sessionize,
+        "kg_export_ntriples": _kg_export_ntriples,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3326,6 +3354,29 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "kg_export_ntriples": (
+            # mirror of sinks/rdf_export.py over the same nation schema:
+            # IRI segments here are numeric keys / safe names (pct chain
+            # is a no-op); the literal ECHAR chain is replayed on the
+            # quote+backslash-bearing note property
+            "WITH subj AS (SELECT n_nationkey, n_regionkey, n_name, "
+            "  '<http://example.org/node/Nation:' || CAST(n_nationkey AS VARCHAR) || '>' AS s, "
+            "  'says \"' || n_name || '\" via C:\\kg' AS note FROM nation) "
+            "SELECT s || ' <http://example.org/rel/IN_REGION> "
+            "<http://example.org/node/Region:' || CAST(n_regionkey AS VARCHAR) || '> .' "
+            "AS ntriple FROM subj "
+            "UNION ALL SELECT s || ' <http://example.org/prop/key> \"' "
+            "|| CAST(n_nationkey AS VARCHAR) "
+            "|| '\"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM subj "
+            "UNION ALL SELECT s || ' <http://example.org/prop/name> \"' || n_name "
+            "|| '\" .' FROM subj "
+            "UNION ALL SELECT s || ' <http://example.org/prop/note> \"' "
+            "|| replace(replace(note, '\\', '\\\\'), '\"', '\\\"') || '\" .' FROM subj "
+            "UNION ALL SELECT DISTINCT "
+            "'<http://example.org/node/Region:' || CAST(n_regionkey AS VARCHAR) "
+            "|| '> <http://example.org/prop/rkey> \"' || CAST(n_regionkey AS VARCHAR) "
+            "|| '\"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM nation"
         ),
         "events_sessionize": (
             "WITH flagged AS ("

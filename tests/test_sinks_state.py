@@ -233,3 +233,57 @@ def test_subgraph_pull_refreshes_relationships(spark):
     store.pull(Subgraph([p, c], [rel]))
     assert p["name"] == "Ada O'Hara"
     assert rel["since"] == 2001
+
+
+def test_ntriples_export(spark, tmp_path):
+    """RDF N-Triples sink: IRIs percent-encode forbidden chars, literals
+    ECHAR-escape quote/backslash/newline, numerics carry XSD datatypes,
+    nulls emit no property line, and the text write round-trips."""
+    from data2neo_spark.sinks.rdf_export import ntriples_lines, write_ntriples
+
+    schema = """
+ENTITY("t"):
+    NODE("Person") p:
+        + id = INT(t.id)
+        - bio = t.bio
+        - score = FLOAT(t.score)
+        - active = BOOL(t.flag)
+    NODE("City") c:
+        + city = t.city
+    RELATIONSHIP(p, "LIVES IN", c):
+"""
+    pdf = pd.DataFrame({
+        "id": [1, 2],
+        "bio": ['say "hi"\\now', None],
+        "score": [1.5, 2.0],
+        "flag": [1, 0],
+        "city": ["St. Gallen", "Zurich base"],
+    })
+    store = Converter(schema, [("t", spark.createDataFrame(pdf))])(spark)
+    lines = {r.ntriple for r in ntriples_lines(store).collect()}
+
+    # edge: rel type with a space percent-encodes; node IRI encodes too
+    assert (
+        "<http://example.org/node/Person:1> <http://example.org/rel/LIVES%20IN> "
+        "<http://example.org/node/City:St.%20Gallen> ." in lines
+    )
+    # literal escaping: backslash before quote handling, quotes escaped
+    assert (
+        '<http://example.org/node/Person:1> <http://example.org/prop/bio> '
+        '"say \\"hi\\"\\\\now" .' in lines
+    )
+    # typed literals
+    assert any("prop/score> \"1.5\"^^<http://www.w3.org/2001/XMLSchema#double>" in l
+               for l in lines)
+    assert any("prop/active> \"true\"^^<http://www.w3.org/2001/XMLSchema#boolean>" in l
+               for l in lines)
+    # null bio on Person:2 -> no line
+    assert not any("Person:2> <http://example.org/prop/bio>" in l for l in lines)
+
+    out = str(tmp_path / "nt")
+    write_ntriples(store, out)
+    written = set()
+    for f in glob.glob(os.path.join(out, "part-*")):
+        with open(f) as fh:
+            written.update(l.rstrip("\n") for l in fh if l.strip())
+    assert written == lines
