@@ -709,6 +709,30 @@ def _graph_degree_stats(spark, sf_dir):
     return degree_stats(li, top_k=10)
 
 
+def _graph_khop(spark, sf_dir):
+    """Bounded 3-hop BFS neighborhoods (operators/graph.py:
+    khop_reachability) over the undirected Customer—Order—Part KG from
+    five customer seeds: (seed, node, min_hops), min_hops exact by
+    layered anti-join construction. Edge frame never shuffles while the
+    frontier broadcasts; replayed by a recursive-CTE oracle (UNION
+    dedup + min(hops))."""
+    from data2neo_spark.operators.graph import khop_reachability
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + F.lit(1_000_000)).alias("dst"),
+    ).unionAll(
+        li.select(
+            (F.col("l_orderkey") + F.lit(1_000_000)).alias("src"),
+            (F.col("l_partkey") + F.lit(2_000_000)).alias("dst"),
+        )
+    )
+    seeds = spark.range(5).select(F.col("id").alias("seed"))
+    return khop_reachability(edges, seeds, k=3, undirected=True)
+
+
 def _corpus_sample(spark, sf_dir):
     """Deterministic hash-based mixture sampling (order-free md5 rule:
     keep iff md5_hash60(seed|id) % 1e6 < rate·1e6) with per-language
@@ -1528,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 late additions — never driver-checked, so they lead
         "events_sessionize": _events_sessionize,
         "kg_export_ntriples": _kg_export_ntriples,
+        "graph_khop": _graph_khop,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3354,6 +3379,20 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "graph_khop": (
+            "WITH RECURSIVE e2 AS ("
+            "  SELECT o_custkey AS src, o_orderkey + 1000000 AS dst FROM orders"
+            "  UNION ALL SELECT l_orderkey + 1000000, l_partkey + 2000000 FROM lineitem"
+            "  UNION ALL SELECT o_orderkey + 1000000, o_custkey FROM orders"
+            "  UNION ALL SELECT l_partkey + 2000000, l_orderkey + 1000000 FROM lineitem"
+            "), walk(seed, node, hops) AS ("
+            "  SELECT seed, seed, 0 FROM (SELECT unnest([0,1,2,3,4]) AS seed)"
+            "  UNION"
+            "  SELECT w.seed, e2.dst, w.hops + 1 FROM walk w"
+            "  JOIN e2 ON e2.src = w.node WHERE w.hops < 3"
+            ") SELECT seed, node, CAST(min(hops) AS INT) AS min_hops "
+            "FROM walk GROUP BY seed, node"
         ),
         "kg_export_ntriples": (
             # mirror of sinks/rdf_export.py over the same nation schema:

@@ -290,3 +290,81 @@ def triangle_counts(
         F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
     )
     return out
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = False,
+    broadcast_frontier_max: int = 5_000_000,
+) -> DataFrame:
+    """Bounded k-hop BFS from a seed set: ``(seed, node, min_hops)`` for
+    every node reachable from each seed within ``k`` hops (the seed
+    itself at hop 0). The neighborhood-expansion primitive of a KG —
+    entity context windows, blast-radius queries, subgraph sampling for
+    GNN training all reduce to it.
+
+    Layered frontier expansion: hop ``i``'s frontier joins the edge
+    frame once, new ``(seed, node)`` pairs are removed with a LEFT ANTI
+    join against everything already reached (so ``min_hops`` is exact by
+    construction — a node is recorded the first layer it appears), and
+    the loop is k joins total, NOT k self-joins of a growing path table:
+    no path enumeration, state is O(reached nodes) not O(paths).
+
+    Scale shape: the edge frame is the big side and is never moved when
+    the frontier fits the broadcast gate (``broadcast_frontier_max``
+    rows, checked per layer with a cheap count that doubles as the
+    convergence test — an empty frontier short-circuits the remaining
+    hops). Past the gate the layer join degrades to one hash exchange
+    per side, keyed on the node id — hub fan-out behaves like any hot
+    key (AQE skew split applies). ``undirected=True`` unions the
+    reversed edge frame lazily (no materialization).
+
+    Engine-portable: integer hop arithmetic and set semantics only, so a
+    SQL oracle replays it with a recursive CTE (UNION-dedup on
+    (seed, node, hops), then min(hops)).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.unionAll(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+
+    from pyspark.sql import Observation
+
+    reached = seed_nodes.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("int").alias("min_hops")
+    ).persist()
+    frontier = reached.select("seed", "node")
+    n = frontier.count()  # only the seed layer pays a standalone count;
+    for hop in range(1, k + 1):  # later sizes ride the materializing job
+        if n == 0:
+            break
+        f = F.broadcast(frontier) if n <= broadcast_frontier_max else frontier
+        nxt = (
+            f.join(e, f["node"] == e["_s"])
+            .select("seed", F.col("_d").alias("node"))
+            .distinct()
+            .join(reached, ["seed", "node"], "left_anti")
+            .withColumn("min_hops", F.lit(hop).cast("int"))
+        )
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).persist()
+        prev = reached
+        reached = reached.unionAll(nxt).persist()
+        reached.count()  # materialize before unpersisting parents
+        try:
+            n = obs.get["n"]  # frontier size observed for free on that job
+        except Exception:
+            # AQE empty-relation propagation can prune the CollectMetrics
+            # node (no metrics row); nxt is persisted, count is cheap
+            n = nxt.count()
+        prev.unpersist()
+        frontier = nxt.select("seed", "node")
+    return reached

@@ -1746,3 +1746,32 @@ def test_sessionize_boundaries_and_single_shuffle(spark):
     assert rows[(1, 1)] == (2, s(0), s(10))
     assert rows[(1, 2)] == (2, s(1811), s(3611))
     assert rows[(2, 1)] == (1, s(5), s(5))
+
+
+def test_khop_reachability(spark):
+    from data2neo_spark.operators.graph import khop_reachability
+
+    # path graph 1-2-3-4-5 plus a triangle 1-2-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    out = khop_reachability(edges, seeds, k=2, undirected=True)
+    got = {(r.node): r.min_hops for r in out.collect()}
+    # hop0: 1; hop1: 2 and 6 (6 via reversed edge); hop2: 3 (via 2) —
+    # NOT 4/5 (3 hops away); 6 stays at 1 even though also 2 hops via 2
+    assert got == {1: 0, 2: 1, 6: 1, 3: 2}
+
+    # directed: 6->1 means 6 unreachable from 1 in 2 hops forward
+    out_d = khop_reachability(edges, seeds, k=2)
+    got_d = {r.node: r.min_hops for r in out_d.collect()}
+    assert got_d == {1: 0, 2: 1, 3: 2, 6: 2}
+
+    # k=0 returns only seeds; empty-frontier early exit
+    only = khop_reachability(edges, seeds, k=0).collect()
+    assert [(r.seed, r.node, r.min_hops) for r in only] == [(1, 1, 0)]
+    far = khop_reachability(
+        spark.createDataFrame([(7, 8)], "src long, dst long"), seeds, k=5
+    )
+    assert far.count() == 1  # frontier empties after hop 1
