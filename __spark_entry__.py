@@ -709,6 +709,46 @@ def _graph_degree_stats(spark, sf_dir):
     return degree_stats(li, top_k=10)
 
 
+def _sketch_hll(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count (operators/sketch.py):
+    customers per order priority at p=8 (256 registers/group — constant
+    state whatever the corpus size, map-side max-combine). md5-derived
+    hashing makes registers a pure function of the value set: identical
+    at any cluster size, value-hash-replayable in SQL (no engine HLL++
+    internals)."""
+    from data2neo_spark.operators.sketch import hll_distinct
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("cust")
+    )
+    return hll_distinct(orders, "cust", ["o_orderpriority"], p=8)
+
+
+def _sketch_countmin(spark, sf_dir):
+    """Count-min frequency sketch (operators/sketch.py): depth-4 ×
+    width-2048 counter table over document words (fixed size whatever
+    the corpus; counters are linear, so daily batches merge by sum),
+    probed for the 20 most frequent words: (word, true_count,
+    est_count), est ≥ true by construction."""
+    from data2neo_spark.operators.sketch import countmin_estimate, countmin_table
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    tbl = countmin_table(words, "word", depth=4, width=2048)
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "word")
+        .limit(20)
+    )
+    est = countmin_estimate(tbl, top, "word", depth=4, width=2048)
+    return top.join(est, top.word == est.value).select(
+        "word", "true_count", "est_count"
+    )
+
+
 def _graph_khop(spark, sf_dir):
     """Bounded 3-hop BFS neighborhoods (operators/graph.py:
     khop_reachability) over the undirected Customer—Order—Part KG from
@@ -1553,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "kg_export_ntriples": _kg_export_ntriples,
         "graph_khop": _graph_khop,
+        "sketch_hll": _sketch_hll,
+        "sketch_countmin": _sketch_countmin,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3379,6 +3421,45 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "sketch_hll": (
+            # exact replay of operators/sketch.py HLL math: 60-bit md5
+            # hash, top-8 bits register, rho via length(bin(tail)),
+            # alpha_m*m^2 inlined at full double precision
+            "WITH h AS (SELECT o_orderpriority AS grp, "
+            "  CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) AS hv "
+            "  FROM orders WHERE o_custkey IS NOT NULL), "
+            "r AS (SELECT grp, hv >> 52 AS register, "
+            "  CASE WHEN hv % 4503599627370496 = 0 THEN 53 "
+            "       ELSE 53 - length(bin(hv % 4503599627370496)) END AS rho FROM h), "
+            "regs AS (SELECT grp, register, max(rho) AS rho FROM r GROUP BY 1, 2), "
+            "agg AS (SELECT grp, count(*) AS n_registers, "
+            "        sum(power(2.0, -rho)) AS s_hit FROM regs GROUP BY 1) "
+            "SELECT grp AS o_orderpriority, n_registers, "
+            "round(CASE WHEN 47072.71267120224 / (s_hit + (256 - n_registers)) <= 640.0 "
+            "             AND (256 - n_registers) > 0 "
+            "      THEN 256.0 * ln(256.0 / (256 - n_registers)) "
+            "      ELSE 47072.71267120224 / (s_hit + (256 - n_registers)) END, 2) "
+            "AS est_distinct FROM agg"
+        ),
+        "sketch_countmin": (
+            "WITH w2 AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "            FROM documents), "
+            "w3 AS (SELECT word FROM w2 WHERE word <> ''), "
+            "dd AS (SELECT unnest([0, 1, 2, 3]) AS d), "
+            "tbl AS (SELECT d, bucket, count(*) AS cnt FROM ("
+            "  SELECT dd.d, CAST(concat('0x', substr(md5("
+            "    CAST(dd.d AS VARCHAR) || '|' || w3.word), 1, 15)) AS BIGINT) % 2048 "
+            "  AS bucket FROM w3 CROSS JOIN dd) GROUP BY 1, 2), "
+            "top AS (SELECT word, count(*) AS true_count FROM w3 "
+            "        GROUP BY word ORDER BY true_count DESC, word LIMIT 20), "
+            "probes AS (SELECT t.word, t.true_count, dd.d, "
+            "  CAST(concat('0x', substr(md5("
+            "    CAST(dd.d AS VARCHAR) || '|' || t.word), 1, 15)) AS BIGINT) % 2048 "
+            "  AS bucket FROM top t CROSS JOIN dd) "
+            "SELECT p.word, p.true_count, min(coalesce(tb.cnt, 0)) AS est_count "
+            "FROM probes p LEFT JOIN tbl tb ON tb.d = p.d AND tb.bucket = p.bucket "
+            "GROUP BY p.word, p.true_count"
         ),
         "graph_khop": (
             "WITH RECURSIVE e2 AS ("

@@ -1775,3 +1775,70 @@ def test_khop_reachability(spark):
         spark.createDataFrame([(7, 8)], "src long, dst long"), seeds, k=5
     )
     assert far.count() == 1  # frontier empties after hop 1
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.sketch import hll_distinct, hll_registers
+
+    # 10k distinct values -> raw-estimate path; error well inside 3 sigma
+    # (1.04/sqrt(256) ~ 6.5%)
+    big = spark.range(10_000).select(F.col("id").cast("string").alias("v"))
+    est = hll_distinct(big, "v", p=8).collect()[0]
+    assert abs(est.est_distinct - 10_000) / 10_000 < 0.2
+
+    # 30 distinct -> linear-counting small-range path, near-exact
+    small = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    est_s = hll_distinct(small, "v", p=8).collect()[0]
+    assert abs(est_s.est_distinct - 30) < 3
+
+    # mergeability: registers of two halves, unioned + re-maxed, equal the
+    # single-pass registers (sketch is a pure function of the value set)
+    h1 = spark.range(0, 5_000).select(F.col("id").cast("string").alias("v"))
+    h2 = spark.range(5_000, 10_000).select(F.col("id").cast("string").alias("v"))
+    merged = (
+        hll_registers(h1, "v", p=8)
+        .unionAll(hll_registers(h2, "v", p=8))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    single = hll_registers(big, "v", p=8)
+    assert {(r.register, r.rho) for r in merged.collect()} == {
+        (r.register, r.rho) for r in single.collect()
+    }
+
+    # p out of range
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hll_registers(big, "v", p=2)
+
+
+def test_countmin_upper_bound_and_merge(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.sketch import countmin_estimate, countmin_table
+
+    # skewed corpus: value i repeated (i+1) times, i in [0, 100)
+    vals = spark.range(100).select(
+        F.col("id"), F.explode(F.sequence(F.lit(0), F.col("id"))).alias("rep")
+    ).select(F.col("id").cast("string").alias("v"))
+    tbl = countmin_table(vals, "v", depth=4, width=256)
+    true = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    est = countmin_estimate(tbl, true, "v", depth=4, width=256)
+    joined = {r.value: r.est_count for r in est.collect()}
+    for r in true.collect():
+        assert joined[r.v] >= r.t  # classic upper-bound guarantee
+        assert joined[r.v] <= r.t + 150  # collisions bounded (~N/width per row)
+
+    # linearity: hash-split half-tables summed == full table
+    a = vals.where(F.crc32(F.col("v")) % 2 == 0)
+    b = vals.where(F.crc32(F.col("v")) % 2 == 1)
+    merged = (
+        countmin_table(a, "v", depth=2, width=64)
+        .unionAll(countmin_table(b, "v", depth=2, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = countmin_table(vals, "v", depth=2, width=64)
+    assert {(r.row, r.bucket, r.cnt) for r in merged.collect()} == {
+        (r.row, r.bucket, r.cnt) for r in full.collect()
+    }
