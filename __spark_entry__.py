@@ -709,6 +709,18 @@ def _graph_degree_stats(spark, sf_dir):
     return degree_stats(li, top_k=10)
 
 
+def _corpus_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential-sort, operators/corpus.py:sample_weighted): 200 docs
+    with inclusion probability ∝ n_chars. Zero-shuffle keying + Spark's
+    TakeOrderedAndProject top-k (per-partition heaps, no full sort);
+    same hash rule at any cluster size."""
+    from data2neo_spark.operators.corpus import sample_weighted
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sample_weighted(docs, "n_chars", k=200, seed=0)
+
+
 def _sketch_hll(spark, sf_dir):
     """Deterministic HyperLogLog distinct-count (operators/sketch.py):
     customers per order priority at p=8 (256 registers/group — constant
@@ -1595,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": _graph_khop,
         "sketch_hll": _sketch_hll,
         "sketch_countmin": _sketch_countmin,
+        "corpus_sample_weighted": _corpus_sample_weighted,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3421,6 +3434,15 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "corpus_sample_weighted": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "  SELECT doc_id, lang, n_chars, "
+            "    -ln((CAST(concat('0x', substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "         AS BIGINT) + 1) / 1152921504606846976.0) "
+            "    / CAST(n_chars AS DOUBLE) AS aes_key "
+            "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0"
+            ") ORDER BY aes_key, doc_id LIMIT 200"
         ),
         "sketch_hll": (
             # exact replay of operators/sketch.py HLL math: 60-bit md5

@@ -357,3 +357,46 @@ def train_test_split(
         F.when(bucket < F.lit(int(round(test_rate * 1_000_000))),
                F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def sample_weighted(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-ES /
+    exponential-sort, Efraimidis & Spirakis 2006): each row draws the
+    exponential key ``-ln(u) / w`` from the order-free uniform
+    ``u = (md5_hash60(seed‖id) + 1) / 2^60`` and the k SMALLEST keys
+    win — inclusion probability proportional to ``weight_col`` at every
+    prefix, so quality-weighted corpus subsets are reproducible at any
+    cluster size (same hash rule contract as :func:`sample_corpus`).
+
+    Rows with null, zero, or negative weight never win (dropped before
+    keying, mirroring the rate<=0 behavior of sample_corpus).
+
+    Scale shape: the key is a zero-shuffle projection; the global top-k
+    is Spark's TakeOrderedAndProject (per-partition heap of k, then a
+    driver merge of P·k candidate rows) — no full sort, no single-
+    reducer exchange. SQL-replayable as ORDER BY key LIMIT k.
+    """
+    from .dedup import md5_hash60
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        md5_hash60(
+            F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))
+        )
+        + F.lit(1)
+    ) / F.lit(float(2**60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_aes_key", key)
+        .orderBy("_aes_key", id_col)
+        .limit(k)
+        .drop("_aes_key")
+    )

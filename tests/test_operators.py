@@ -1842,3 +1842,38 @@ def test_countmin_upper_bound_and_merge(spark):
     assert {(r.row, r.bucket, r.cnt) for r in merged.collect()} == {
         (r.row, r.bucket, r.cnt) for r in full.collect()
     }
+
+
+def test_sample_weighted_proportionality_and_plan(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.corpus import sample_weighted
+
+    # two weight classes: ids 0-499 weight 10, ids 500-4999 weight 1.
+    # heavy class is 10% of rows but should win far more than 10% of a
+    # 500-row sample (expected share ~ 10*500/(10*500+4500) ~ 53%)
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(10)).otherwise(F.lit(1)).alias("w"),
+    )
+    out = sample_weighted(df, "w", k=500, id_col="doc_id", seed=7)
+    rows = out.collect()
+    assert len(rows) == 500
+    heavy = sum(1 for r in rows if r.doc_id < 500)
+    assert heavy > 150  # >> the 50 a uniform sample would give
+
+    # determinism + nested stability: same seed -> same set; independent
+    # of partitioning
+    again = {r.doc_id for r in
+             sample_weighted(df.repartition(13), "w", k=500,
+                             id_col="doc_id", seed=7).collect()}
+    assert again == {r.doc_id for r in rows}
+
+    # zero/null weights never sampled
+    dfz = df.withColumn("w", F.when(F.col("doc_id") < 4_990, F.lit(0))
+                        .otherwise(F.col("w")))
+    assert sample_weighted(dfz, "w", k=500, id_col="doc_id").count() == 10
+
+    # top-k plan, not a global sort: TakeOrderedAndProject
+    plan = sample_weighted(df, "w", k=5, id_col="doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
