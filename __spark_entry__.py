@@ -709,6 +709,37 @@ def _graph_degree_stats(spark, sf_dir):
     return degree_stats(li, top_k=10)
 
 
+def _web_link_graph(spark, sf_dir):
+    """Host-level web link graph (operators/web.py:link_graph): anchors
+    are parsed out of real html byte strings with native
+    regexp_extract_all (zero-shuffle map side), relative hrefs resolve
+    to the page's own host, self-loops drop, one groupBy to the
+    (src_host, dst_host, n_links) edge list. Pages are synthesized
+    deterministically from doc_id so the oracle replays the host
+    arithmetic without an html parser."""
+    from data2neo_spark.operators.web import link_graph
+
+    d = F.col("doc_id")
+    site = lambda e: F.concat(F.lit("site"), e.cast("string"), F.lit(".example"))
+    anchor = lambda h: F.concat(
+        F.lit('<a href="https://'), h, F.lit("/p/"), d.cast("string"), F.lit('"></a>')
+    )
+    pages = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), site(d % 11), F.lit("/page/"), d.cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title></head><body><p>x</p>"),
+                anchor(site(d % 37)),
+                anchor(site((d * 7 + 3) % 37)),
+                anchor(site(F.floor(d / 5) % 37)),
+                F.lit('<a href="/rel/1"></a></body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return link_graph(pages)
+
+
 def _corpus_sample_weighted(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES
     exponential-sort, operators/corpus.py:sample_weighted): 200 docs
@@ -1608,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": _sketch_hll,
         "sketch_countmin": _sketch_countmin,
         "corpus_sample_weighted": _corpus_sample_weighted,
+        "web_link_graph": _web_link_graph,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3434,6 +3466,21 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "web_link_graph": (
+            # host arithmetic replay of the synthesized anchors; the
+            # relative href resolves to the src host (self-loop, dropped)
+            "WITH p AS (SELECT doc_id, "
+            "  'site' || CAST(doc_id % 11 AS VARCHAR) || '.example' AS src "
+            "  FROM documents), "
+            "l AS ("
+            "  SELECT src, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS dst FROM p "
+            "  UNION ALL "
+            "  SELECT src, 'site' || CAST((doc_id * 7 + 3) % 37 AS VARCHAR) || '.example' FROM p "
+            "  UNION ALL "
+            "  SELECT src, 'site' || CAST((doc_id // 5) % 37 AS VARCHAR) || '.example' FROM p"
+            ") SELECT src AS src_host, dst AS dst_host, count(*) AS n_links "
+            "FROM l WHERE src <> dst GROUP BY 1, 2"
         ),
         "corpus_sample_weighted": (
             "SELECT doc_id, lang, n_chars FROM ("

@@ -78,3 +78,35 @@ def test_dotless_and_suffix_edge_hosts(spark):
     assert got[0] == "localhost"
     assert got[1] == "co.uk"     # no third label available → falls back
     assert got[2] == "example.com"
+
+
+def test_extract_links_and_link_graph(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.web import extract_links, link_graph
+
+    html = (
+        '<html><head><title>t</title></head><body>'
+        '<a href="https://b.example/x">one</a>'
+        '<a href="https://c.example/y">two</a>'
+        '<a href="/relative/path">rel</a>'
+        '<a href="https://a.example/self">self</a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/p/1", html.encode())], "url string, html binary"
+    )
+    links = extract_links(pages).collect()
+    assert len(links) == 4
+    by_url = {r.dst_url: r.dst_host for r in links}
+    assert by_url["https://b.example/x"] == "b.example"
+    # relative href resolves to the page's own host
+    assert by_url["/relative/path"] == "a.example"
+
+    g = {(r.src_host, r.dst_host): r.n_links for r in link_graph(pages).collect()}
+    # self-loops (explicit and via relative) dropped
+    assert g == {("a.example", "b.example"): 1, ("a.example", "c.example"): 1}
+
+    g2 = link_graph(pages, drop_self_loops=False)
+    assert g2.where(
+        (F.col("src_host") == "a.example") & (F.col("dst_host") == "a.example")
+    ).collect()[0].n_links == 2
