@@ -1567,6 +1567,19 @@ def _text_dup_lines_corpus(spark, sf_dir):
     )
 
 
+def _text_trigram_lm(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (operators/text.py:
+    with_trigram_lm_scores): models train on the even-doc_id half, ALL
+    docs score against them, so odd docs genuinely exercise the
+    trigram→bigram→floor backoff chain. Integer-quantized throughout —
+    value-hash replayable."""
+    from data2neo_spark.operators.text import with_trigram_lm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    return with_trigram_lm_scores(docs, "doc_id", train_on=train)
+
+
 def _text_bigram_lm(spark, sf_dir):
     """CCNet-style LM quality scoring: every document scored by its bigrams'
     integer-quantized conditional probabilities under the corpus's own
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": _sketch_countmin,
         "corpus_sample_weighted": _corpus_sample_weighted,
         "web_link_graph": _web_link_graph,
+        "text_trigram_lm": _text_trigram_lm,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -2751,6 +2765,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(sppm // n AS BIGINT) AS avg_cond_ppm, sum_bigram_bits
         FROM sc
     """
+    trigram_lm = """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   unnest(range(len(string_split(text, ' ')))) AS pos
+            FROM documents
+        ), tg AS (
+            SELECT doc_id, word AS w1, lead(word, 1) OVER w AS w2,
+                   lead(word, 2) OVER w AS w3
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 2) OVER w IS NOT NULL
+        ), bg AS (
+            SELECT doc_id, word AS w1, lead(word, 1) OVER w AS w2
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(word, 1) OVER w IS NOT NULL
+        ), c3 AS (
+            SELECT w1, w2, w3, count(*) AS c3 FROM tg
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+        ), m3 AS (
+            SELECT w1, w2, w3,
+                   (c3 * 1000000) // sum(c3) OVER (PARTITION BY w1, w2) AS p3
+            FROM c3
+        ), c2 AS (
+            SELECT w1, w2, count(*) AS c2 FROM bg
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        ), m2 AS (
+            SELECT w1 AS mw2, w2 AS mw3,
+                   (c2 * 1000000) // sum(c2) OVER (PARTITION BY w1) AS p2
+            FROM c2
+        ), sc AS (
+            SELECT t.doc_id,
+                   coalesce(m3.p3, (2 * m2.p2) // 5, 1) AS score,
+                   CASE WHEN m3.p3 IS NULL THEN 1 ELSE 0 END AS bo,
+                   CASE WHEN m3.p3 IS NULL AND m2.p2 IS NULL THEN 1 ELSE 0 END AS fl
+            FROM tg t
+            LEFT JOIN m3 ON m3.w1 = t.w1 AND m3.w2 = t.w2 AND m3.w3 = t.w3
+            LEFT JOIN m2 ON m2.mw2 = t.w2 AND m2.mw3 = t.w3
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(score) // count(*) AS BIGINT) AS avg_score_ppm,
+               CAST(sum(bo) - sum(fl) AS BIGINT) AS n_backoff_bigram,
+               CAST(sum(fl) AS BIGINT) AS n_backoff_floor
+        FROM sc GROUP BY doc_id
+    """
     # kg_entity_disambig: the VALUES list replays _DISAMBIG_CANDIDATES;
     # overlap = |distinct doc words ∩ desc terms| (desc bags are distinct
     # per candidate, so the Spark side's vocabulary-restricted context
@@ -2959,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_pairs": canonical_pairs,
         "text_dup_lines_corpus": dup_lines_corpus,
         "text_bigram_lm": bigram_lm,
+        "text_trigram_lm": trigram_lm,
         "kg_entity_disambig": entity_disambig,
         "kg_nodes_customer": (
             "SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, "

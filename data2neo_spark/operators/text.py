@@ -890,3 +890,129 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     c = F.regexp_replace(c, r"\p{Cc}", " ")
     c = F.regexp_replace(c, _WS_CLASS, " ")
     return df.withColumn(out_col, F.trim(c))
+
+
+def _trigram_stream(
+    df: DataFrame, id_col: Optional[str], text_col: str
+) -> DataFrame:
+    """([id,] w1, w2, w3) — one row per adjacent word triple, built
+    inside the scan stage like _bigram_stream (zero shuffle); docs
+    shorter than 3 words emit nothing."""
+    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    words = F.col("_words")
+    triples = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(3)),
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("w1"),
+            F.element_at(words, i + 2).alias("w2"),
+            F.element_at(words, i + 3).alias("w3"),
+        ),
+    )
+    keep = [F.col(id_col)] if id_col is not None else []
+    return (
+        bound.where(F.size(words) >= 3)
+        .select(*keep, F.explode(triples).alias("_t"))
+        .select(
+            *([id_col] if id_col is not None else []),
+            F.col("_t.w1").alias("w1"),
+            F.col("_t.w2").alias("w2"),
+            F.col("_t.w3").alias("w3"),
+        )
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame, text_col: str = "text", scale: int = 1_000_000
+) -> DataFrame:
+    """Corpus trigram model ``(w1, w2, w3, c3, c12, cond_ppm)`` with
+    ``cond_ppm = (c3·scale) div c12`` the integer-quantized
+    P(w3|w1,w2) — same integer-exact contract as train_bigram_lm.
+    Shape: one (w1,w2,w3) groupBy + one (w1,w2)-partitioned window for
+    context totals; both on model-sized data."""
+    from pyspark.sql import Window
+
+    tri = _trigram_stream(df, None, text_col)
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    m = c3.withColumn("c12", F.sum("c3").over(Window.partitionBy("w1", "w2")))
+    return m.select(
+        "w1", "w2", "w3", "c3", "c12",
+        F.expr(f"(c3 * {int(scale)}L) div c12").alias("cond_ppm"),
+    )
+
+
+def with_trigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    trigram_model: Optional[DataFrame] = None,
+    bigram_model: Optional[DataFrame] = None,
+    train_on: Optional[DataFrame] = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007, public):
+    each document trigram scores
+
+    * P(w3|w1,w2) from the trigram model when the triple was seen,
+    * else 0.4 · P(w3|w2) from the bigram model (integer form:
+      ``(2·cond_ppm) div 5``),
+    * else the floor 1 ppm (out-of-vocabulary continuation).
+
+    Per document: ``(id, n_trigrams, avg_score_ppm, n_backoff_bigram,
+    n_backoff_floor)`` — the backoff counts measure how far the doc
+    strays from the training slice (train on a trusted corpus via
+    ``train_on``/explicit models; score the crawl). All integer
+    arithmetic — hash-reproducible cross-engine.
+
+    Shape: two size-gated broadcast joins (trigram then bigram model,
+    both vocab-bounded, shuffle fallback past the gate) + one per-doc
+    groupBy. The corpus side never shuffles when both models broadcast.
+    """
+    from .dedup import _should_broadcast
+
+    base = train_on if train_on is not None else df
+    if trigram_model is None:
+        trigram_model = train_trigram_lm(base, text_col=text_col, scale=scale)
+    if bigram_model is None:
+        bigram_model = train_bigram_lm(base, text_col=text_col, scale=scale)
+
+    t = trigram_model.select("w1", "w2", "w3", F.col("cond_ppm").alias("_p3"))
+    b = bigram_model.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("cond_ppm").alias("_p2"),
+    )
+    if _should_broadcast(t):
+        t = F.broadcast(t)
+    if _should_broadcast(b):
+        b = F.broadcast(b)
+
+    tri = _trigram_stream(df, id_col, text_col)
+    scored = (
+        tri.join(t, ["w1", "w2", "w3"], "left")
+        .join(b, ["w2", "w3"], "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("_p3"),
+                F.expr("(2 * _p2) div 5"),
+                F.lit(1).cast("long"),
+            ).alias("_score"),
+            F.col("_p3").isNull().cast("long").alias("_bo"),
+            (F.col("_p3").isNull() & F.col("_p2").isNull()).cast("long").alias("_floor"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("_score").alias("_ssum"),
+            (F.sum("_bo") - F.sum("_floor")).alias("n_backoff_bigram"),
+            F.sum("_floor").alias("n_backoff_floor"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.expr("_ssum div n_trigrams").alias("avg_score_ppm"),
+            "n_backoff_bigram",
+            "n_backoff_floor",
+        )
+    )

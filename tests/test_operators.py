@@ -1877,3 +1877,39 @@ def test_sample_weighted_proportionality_and_plan(spark):
     plan = sample_weighted(df, "w", k=5, id_col="doc_id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_trigram_lm_backoff_chain(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.text import (
+        train_trigram_lm,
+        with_trigram_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    # doc 1: "a b c" seen; "b c z" unseen trigram but (c,z) unseen bigram
+    # too -> floor; "c z b" -> floor; "z b c" unseen trigram, (b,c) IS a
+    # training bigram -> bigram backoff
+    score = spark.createDataFrame(
+        [(1, "a b c z b c")], "doc_id long, text string"
+    )
+    out = with_trigram_lm_scores(score, "doc_id", train_on=train).collect()[0]
+    assert out.n_trigrams == 4
+    assert out.n_backoff_bigram == 1
+    assert out.n_backoff_floor == 2
+
+    # model math: P(c|a,b) = 2/3 of the training trigram contexts (a b ->
+    # c twice, a b -> d once) -> 666666 ppm
+    m = {
+        (r.w1, r.w2, r.w3): r.cond_ppm
+        for r in train_trigram_lm(train).collect()
+    }
+    assert m[("a", "b", "c")] == 666666
+    assert m[("a", "b", "d")] == 333333
+
+    # exact score: seen tri 666666; bigram backoff (2*P(c|b))//5 where
+    # P(c|b)=2/3 of b-contexts in train ("b c" x2, "b d" x1) -> 666666
+    # -> 266666; two floors at 1 each
+    assert out.avg_score_ppm == (666666 + 266666 + 1 + 1) // 4
