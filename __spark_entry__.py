@@ -1473,6 +1473,25 @@ def _graph_triangles(spark, sf_dir):
     ).withColumn("node", F.col("node").cast("long"))
 
 
+def _graph_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (operators/graph.py:
+    label_propagation, min-label tiebreak) over the same co-occurrence
+    graph as graph_triangles — 3 rounds, label frame broadcast so the
+    adjacency never shuffles; oracle unrolls the rounds as CTEs."""
+    from data2neo_spark.operators.graph import (
+        cooccurrence_edges, label_propagation,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=8)
+    return label_propagation(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")), iters=3
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
 def _kg_node_history(spark, sf_dir):
     """Temporal KG (SCD2): each user's event_type observations collapse
     into validity intervals [valid_from, valid_to) — the history the
@@ -1654,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted": _corpus_sample_weighted,
         "web_link_graph": _web_link_graph,
         "text_trigram_lm": _text_trigram_lm,
+        "graph_communities": _graph_communities,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -2916,6 +2936,41 @@ def oracle_sql() -> dict[str, str]:
     # graph_triangles: degree-ordered wedge triangle counting — row-value
     # comparisons replay the (degree, id) orientation; each triangle is
     # found exactly once at its order-minimal pivot
+    lpa_round = """
+        , v{i} AS (
+            SELECT nb.node, l.label, count(*) AS c
+            FROM nb JOIN l{p} l ON l.node = nb.nbr GROUP BY 1, 2
+        ), t{i} AS (
+            SELECT node, label FROM v{i}
+            QUALIFY row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label) = 1
+        ), l{i} AS (
+            SELECT a.node, coalesce(t.label, a.label) AS label
+            FROM l{p} a LEFT JOIN t{i} t ON t.node = a.node
+        )"""
+    graph_communities = (
+        """
+        WITH gi AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+            FROM lineitem WHERE l_orderkey % 10 = 0
+        ), capped AS (
+            SELECT g, item FROM gi
+            QUALIFY row_number() OVER (PARTITION BY g ORDER BY item) <= 8
+        ), e AS (
+            SELECT DISTINCT x.item AS a, y.item AS b
+            FROM capped x JOIN capped y ON x.g = y.g AND x.item < y.item
+        ), nb AS (
+            SELECT a AS node, b AS nbr FROM e
+            UNION ALL SELECT b, a FROM e
+        ), l0 AS (
+            SELECT DISTINCT node, node AS label FROM nb
+        )"""
+        + "".join(lpa_round.format(i=i, p=i - 1) for i in range(1, 4))
+        + """
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(label AS BIGINT) AS community FROM l3
+    """
+    )
     graph_triangles = """
         WITH gi AS (
             SELECT DISTINCT l_orderkey AS g, l_partkey AS item
@@ -3011,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_svo_triples": kg_svo_triples,
         "kg_node_history": kg_node_history,
         "graph_triangles": graph_triangles,
+        "graph_communities": graph_communities,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,
         "kg_canonical_pairs": canonical_pairs,

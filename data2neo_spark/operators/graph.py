@@ -368,3 +368,61 @@ def khop_reachability(
         prev.unpersist()
         frontier = nxt.select("seed", "node")
     return reached
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    broadcast_nodes_max: int = 5_000_000,
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007), made DETERMINISTIC: labels initialize to the
+    node id, and each round every node adopts the most frequent label
+    among its neighbors with ties broken by smallest label (classic LPA
+    breaks ties randomly; the deterministic tiebreak makes the result a
+    pure function of the graph, replayable as unrolled SQL rounds).
+    Isolated-in-round nodes keep their label. Returns ``(node, label)``
+    after ``iters`` rounds — unlike connected components (hash-to-min,
+    dedup.duplicate_clusters), LPA splits dense regions of one component
+    into separate communities.
+
+    Shape per round: one join of the (node, nbr) adjacency with the
+    label frame — label frame broadcasts up to ``broadcast_nodes_max``
+    rows so the adjacency never shuffles — then a (node, label) vote
+    groupBy and a per-node top-1 window, both partial-agg friendly.
+    Labels persist per round, previous rounds unpersist (pagerank's
+    memory contract)."""
+    from pyspark.sql import Window
+
+    nb = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    nodes = nb.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    n_nodes = labels.count()
+    for _ in range(iters):
+        lbl = labels.select(F.col("node").alias("nbr"), F.col("label"))
+        if n_nodes <= broadcast_nodes_max:
+            lbl = F.broadcast(lbl)
+        votes = (
+            nb.join(lbl, "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        top = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        prev = labels
+        labels = (
+            prev.join(top, "node", "left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .persist()
+        )
+        labels.count()
+        prev.unpersist()
+    return labels

@@ -1913,3 +1913,18 @@ def test_trigram_lm_backoff_chain(spark):
     # P(c|b)=2/3 of b-contexts in train ("b c" x2, "b d" x1) -> 666666
     # -> 266666; two floors at 1 each
     assert out.avg_score_ppm == (666666 + 266666 + 1 + 1) // 4
+
+
+def test_label_propagation_two_communities(spark):
+    from data2neo_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA separates them even
+    # though they are a single connected component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    # hand-computed fixed point of the deterministic min-label tiebreak
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    assert len({out[1], out[4]}) == 2  # distinct communities
