@@ -1473,6 +1473,49 @@ def _graph_triangles(spark, sf_dir):
     ).withColumn("node", F.col("node").cast("long"))
 
 
+def _kg_validate_shapes(spark, sf_dir):
+    """SHACL-lite shape validation (operators/validate.py) over a
+    three-predicate KG: CONTAINS deliberately declared Customer→Part
+    (every edge violates endpoint_type), PLACED fan-out capped at 20
+    (hub customers violate max_out_degree), IN_SEGMENT undeclared
+    (unknown_predicate). Aggregated driver-sized report; rules
+    broadcast, edge frame read once."""
+    from data2neo_spark import Converter
+    from data2neo_spark.operators.validate import shape_violation_summary
+
+    schema = """
+ENTITY("orders"):
+    NODE("Customer") cust:
+        + id = INT(orders.o_custkey)
+    NODE("Order") order:
+        + id = INT(orders.o_orderkey)
+    RELATIONSHIP(cust, "PLACED", order):
+ENTITY("lineitem"):
+    NODE("Order") o2:
+        + id = INT(lineitem.l_orderkey)
+    NODE("Part") part:
+        + id = INT(lineitem.l_partkey)
+    RELATIONSHIP(o2, "CONTAINS", part):
+ENTITY("customer"):
+    NODE("Customer") c2:
+        + id = INT(customer.c_custkey)
+    NODE("Segment") seg:
+        + name = customer.c_mktsegment
+    RELATIONSHIP(c2, "IN_SEGMENT", seg):
+"""
+    store = Converter(schema, [
+        ("orders", _read(spark, sf_dir, "orders")),
+        ("lineitem", _read(spark, sf_dir, "lineitem")),
+        ("customer", _read(spark, sf_dir, "customer")),
+    ])(spark)
+    rules = [
+        {"pred": "PLACED", "src_label": "Customer", "dst_label": "Order",
+         "max_out": 20},
+        {"pred": "CONTAINS", "src_label": "Customer", "dst_label": "Part"},
+    ]
+    return shape_violation_summary(store, rules)
+
+
 def _graph_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (operators/graph.py:
     label_propagation, min-label tiebreak) over the same co-occurrence
@@ -1674,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": _web_link_graph,
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
+        "kg_validate_shapes": _kg_validate_shapes,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -3604,6 +3648,16 @@ FROM r GROUP BY 1
             "    / CAST(n_chars AS DOUBLE) AS aes_key "
             "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0"
             ") ORDER BY aes_key, doc_id LIMIT 200"
+        ),
+        "kg_validate_shapes": (
+            "SELECT 'endpoint_type' AS kind, 'CONTAINS' AS pred, "
+            "count(*) AS n_violations FROM lineitem "
+            "UNION ALL "
+            "SELECT 'max_out_degree', 'PLACED', count(*) FROM ("
+            "  SELECT o_custkey FROM orders GROUP BY o_custkey "
+            "  HAVING count(*) > 20) "
+            "UNION ALL "
+            "SELECT 'unknown_predicate', 'IN_SEGMENT', count(*) FROM customer"
         ),
         "sketch_hll": (
             # exact replay of operators/sketch.py HLL math: 60-bit md5

@@ -1928,3 +1928,40 @@ def test_label_propagation_two_communities(spark):
     # hand-computed fixed point of the deterministic min-label tiebreak
     assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
     assert len({out[1], out[4]}) == 2  # distinct communities
+
+
+def test_validate_shapes(spark):
+    from data2neo_spark import Converter
+    from data2neo_spark.operators.validate import (
+        shape_violation_summary,
+        validate_edges,
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame({"cid": [1, 1, 1, 2], "oid": [10, 11, 12, 13]})
+    store = Converter(
+        """
+ENTITY("t"):
+    NODE("Customer") c:
+        + id = INT(t.cid)
+    NODE("Order") o:
+        + id = INT(t.oid)
+    RELATIONSHIP(c, "PLACED", o):
+""",
+        [("t", spark.createDataFrame(pdf))],
+    )(spark)
+
+    rules = [{"pred": "PLACED", "src_label": "Customer",
+              "dst_label": "Order", "max_out": 2}]
+    rows = validate_edges(store, rules).collect()
+    # only customer 1 (3 edges) violates the fan-out cap; types all valid
+    assert [(r.kind, r.pred, r.entity, r.detail) for r in rows] == [
+        ("max_out_degree", "PLACED", "Customer:1", "3 > 2")
+    ]
+
+    # wrong dst label: every edge violates; undeclared pred flags all
+    bad = [{"pred": "PLACED", "src_label": "Customer", "dst_label": "Invoice"}]
+    assert validate_edges(store, bad).count() == 4
+    summary = {(r.kind, r.pred): r.n_violations
+               for r in shape_violation_summary(store, []).collect()}
+    assert summary == {("unknown_predicate", "PLACED"): 4}
