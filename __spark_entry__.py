@@ -1547,6 +1547,24 @@ def _kg_node_history(spark, sf_dir):
     return scd2_intervals(obs, ["user_id"], ["event_type"], "ts")
 
 
+def _kg_snapshot_asof(spark, sf_dir):
+    """Temporal-KG read path: the graph state AS OF 2024-01-04 — a
+    zero-shuffle interval filter over the SCD2 history
+    (operators/temporal.py:snapshot_asof). valid_to strictly > ts,
+    open intervals included; ts-string formatting matches the repo
+    timestamp convention."""
+    from data2neo_spark.operators.temporal import scd2_intervals, snapshot_asof
+
+    obs = _read(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    hist = scd2_intervals(obs, ["user_id"], ["event_type"], "ts")
+    return snapshot_asof(hist, "2024-01-04 00:00:00").select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        "n_obs",
+    )
+
+
 def _kg_fuse(spark, sf_dir):
     """Knowledge fusion (truth discovery): five extractors claim `brand`
     and `size` facts about every part with md5-seeded error rates
@@ -1718,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
         "kg_validate_shapes": _kg_validate_shapes,
+        "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_fuse": _kg_fuse,
         "kg_svo_triples": _kg_svo_triples,
         "kg_node_history": _kg_node_history,
@@ -2977,6 +2996,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_obs AS BIGINT) AS n_obs
         FROM grouped
     """
+    kg_snapshot_asof = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN row_number() OVER w = 1 THEN 1
+                        WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        ), versioned AS (
+            SELECT user_id, ts, event_type,
+                   SUM(chg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_type ROWS UNBOUNDED PRECEDING)
+                       AS version
+            FROM flagged
+        ), grouped AS (
+            SELECT user_id, version, event_type, MIN(ts) AS valid_from,
+                   COUNT(*) AS n_obs
+            FROM versioned GROUP BY 1, 2, 3
+        ), hist AS (
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                       AS valid_to,
+                   n_obs
+            FROM grouped
+        )
+        SELECT user_id, event_type,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               CAST(n_obs AS BIGINT) AS n_obs
+        FROM hist
+        WHERE valid_from <= TIMESTAMP '2024-01-04 00:00:00'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-04 00:00:00')
+    """
     # graph_triangles: degree-ordered wedge triangle counting — row-value
     # comparisons replay the (degree, id) orientation; each triangle is
     # found exactly once at its order-minimal pivot
@@ -3109,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_fuse": kg_fuse,
         "kg_svo_triples": kg_svo_triples,
         "kg_node_history": kg_node_history,
+        "kg_snapshot_asof": kg_snapshot_asof,
         "graph_triangles": graph_triangles,
         "graph_communities": graph_communities,
         "sim_pq": sim_pq,

@@ -288,3 +288,25 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def snapshot_asof(
+    intervals: DataFrame,
+    ts,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time state from SCD2 validity intervals
+    (:func:`scd2_intervals` output): the rows valid AT ``ts`` —
+    ``valid_from <= ts`` and (``valid_to`` is open or ``> ts``). The
+    temporal-KG read path: 'what did the graph say on date D'.
+
+    Zero-shuffle (a filter over the interval frame, pushed into its
+    scan when the intervals are persisted as a table — partition the
+    stored intervals by coarse valid_from range so old history prunes).
+    """
+    t = F.lit(ts).cast("timestamp")
+    return intervals.where(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    ).drop(to_col)

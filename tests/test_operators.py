@@ -1965,3 +1965,26 @@ ENTITY("t"):
     summary = {(r.kind, r.pred): r.n_violations
                for r in shape_violation_summary(store, []).collect()}
     assert summary == {("unknown_predicate", "PLACED"): 4}
+
+
+def test_snapshot_asof(spark):
+    from data2neo_spark.operators.temporal import scd2_intervals, snapshot_asof
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    obs = spark.createDataFrame(
+        [("u1", t(1), "A"), ("u1", t(3), "B"), ("u1", t(8), "A"),
+         ("u2", t(9), "X")],
+        "user string, ts timestamp, state string",
+    )
+    hist = scd2_intervals(obs, ["user"], ["state"], "ts")
+    # at Jan 5: u1 is in its B interval [3, 8); u2 not yet observed
+    snap = {(r.user): r.state for r in snapshot_asof(hist, t(5)).collect()}
+    assert snap == {"u1": "B"}
+    # boundary: valid_to is EXCLUSIVE (at Jan 8 the new A interval rules)
+    snap8 = {(r.user): r.state for r in snapshot_asof(hist, t(8)).collect()}
+    assert snap8 == {"u1": "A"}
+    # open intervals at the end cover any later ts
+    snap99 = {(r.user): r.state
+              for r in snapshot_asof(hist, dt.datetime(2025, 1, 1)).collect()}
+    assert snap99 == {"u1": "A", "u2": "X"}
