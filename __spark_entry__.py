@@ -752,6 +752,17 @@ def _corpus_sample_weighted(spark, sf_dir):
     return sample_weighted(docs, "n_chars", k=200, seed=0)
 
 
+def _corpus_profile(spark, sf_dir):
+    """Column profiler (operators/sketch.py:profile_table) over the
+    events table: nulls + native-typed min/max in ONE whole-table
+    aggregate, per-column distinct estimates via the md5 HLL sketch at
+    p=12 (≤4096 rows/column after the first map-side combine — exact
+    per-column distinct would be n_cols corpus-wide shuffles)."""
+    from data2neo_spark.operators.sketch import profile_table
+
+    return profile_table(_read(spark, sf_dir, "events"))
+
+
 def _sketch_hll(spark, sf_dir):
     """Deterministic HyperLogLog distinct-count (operators/sketch.py):
     customers per order priority at p=8 (256 registers/group — constant
@@ -1732,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": _sketch_hll,
         "sketch_countmin": _sketch_countmin,
         "corpus_sample_weighted": _corpus_sample_weighted,
+        "corpus_profile": _corpus_profile,
         "web_link_graph": _web_link_graph,
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
@@ -3031,6 +3043,51 @@ def oracle_sql() -> dict[str, str]:
     # graph_triangles: degree-ordered wedge triangle counting — row-value
     # comparisons replay the (degree, id) orientation; each triangle is
     # found exactly once at its order-minimal pivot
+    # corpus_profile: per-column stats + p=12 HLL replay over events;
+    # alpha literal computed with the same Python expression the Spark
+    # side folds into the plan
+    _pf_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    _pf_alpha = repr((0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096)
+    _pf_melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS value FROM events "
+        f"WHERE {c} IS NOT NULL"
+        for c in _pf_cols
+    )
+    _pf_stats = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, count(*) FILTER ({c} IS NULL) AS n_nulls, "
+        f"CAST(min({c}) AS VARCHAR) AS min_value, "
+        f"CAST(max({c}) AS VARCHAR) AS max_value FROM events"
+        for c in _pf_cols
+    )
+    corpus_profile = f"""
+        WITH melted AS ({_pf_melt}), h AS (
+            SELECT col,
+                CAST(concat('0x', substr(md5(value), 1, 15)) AS BIGINT) AS hv
+            FROM melted
+        ), r AS (
+            SELECT col, hv >> 48 AS register,
+                CASE WHEN hv % 281474976710656 = 0 THEN 49
+                     ELSE 49 - length(bin(hv % 281474976710656)) END AS rho
+            FROM h
+        ), regs AS (
+            SELECT col, register, max(rho) AS rho FROM r GROUP BY 1, 2
+        ), agg AS (
+            SELECT col, count(*) AS n_registers,
+                   sum(power(2.0, -rho)) AS s_hit
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT col, n_registers,
+                round(CASE WHEN {_pf_alpha} / (s_hit + (4096 - n_registers))
+                                <= 10240.0 AND (4096 - n_registers) > 0
+                      THEN 4096.0 * ln(4096.0 / (4096 - n_registers))
+                      ELSE {_pf_alpha} / (s_hit + (4096 - n_registers))
+                      END, 2) AS est_distinct
+            FROM agg
+        ), stats AS ({_pf_stats})
+        SELECT s.col AS "column", s.n_nulls, s.min_value, s.max_value,
+               e.n_registers, e.est_distinct
+        FROM stats s LEFT JOIN est e ON e.col = s.col
+    """
     lpa_round = """
         , v{i} AS (
             SELECT nb.node, l.label, count(*) AS c
@@ -3163,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot_asof": kg_snapshot_asof,
         "graph_triangles": graph_triangles,
         "graph_communities": graph_communities,
+        "corpus_profile": corpus_profile,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,
         "kg_canonical_pairs": canonical_pairs,

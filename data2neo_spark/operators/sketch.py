@@ -183,3 +183,62 @@ def countmin_estimate(
         "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy("value").agg(F.min("cnt").alias("est_count"))
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[List[str]] = None,
+    hll_p: int = 12,
+) -> DataFrame:
+    """One-pass column profiler: ``(column, n_nulls, min_value,
+    max_value, n_registers, est_distinct)`` — the data-quality
+    reconnaissance step before wiring a table into a conversion schema
+    (which columns are keys, which are categorical, where the nulls
+    are). min/max compute in the column's native type and cast to
+    string AFTER (numeric min, not lexicographic).
+
+    Scale shape: null/min/max stats are ONE whole-table aggregate (no
+    shuffle beyond the final partial-agg gather); distinct counts use
+    the HLL sketch grouped by column name — the melt explodes ×n_cols
+    but collapses to ≤ 2^p rows per column at the first map-side
+    combine. Exact per-column distinct over 10^12 rows would be
+    n_cols full-width shuffles; this is none.
+    """
+    cols = columns or df.columns
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"), F.col(c).cast("string").alias("value")
+            )
+            for c in cols
+        ]
+    )
+    melted = df.select(F.explode(pairs).alias("_p")).select(
+        "_p.column", "_p.value"
+    )
+    est = hll_distinct(melted, "value", ["column"], p=hll_p)
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_n_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_n_{c}").alias("n_nulls"),
+                        F.col(f"_mn_{c}").alias("min_value"),
+                        F.col(f"_mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.column", "_s.n_nulls", "_s.min_value", "_s.max_value")
+    return stacked.join(est, "column", "left")

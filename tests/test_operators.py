@@ -1988,3 +1988,25 @@ def test_snapshot_asof(spark):
     snap99 = {(r.user): r.state
               for r in snapshot_asof(hist, dt.datetime(2025, 1, 1)).collect()}
     assert snap99 == {"u1": "A", "u2": "X"}
+
+
+def test_profile_table(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.sketch import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, -2.0), (4, "b", 0.0)],
+        "id long, cat string, x double",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["id"].n_nulls == 0 and out["cat"].n_nulls == 1
+    assert out["x"].n_nulls == 1
+    # native-typed min/max, stringified after (numeric, not lexicographic)
+    assert (out["x"].min_value, out["x"].max_value) == ("-2.0", "1.5")
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
+    # tiny cardinalities hit the linear-counting path: near-exact
+    assert abs(out["cat"].est_distinct - 2) < 0.5
+    assert abs(out["id"].est_distinct - 4) < 0.5
+    # column subset selection
+    sub = profile_table(df, columns=["cat"]).collect()
+    assert [r.column for r in sub] == ["cat"]
