@@ -740,6 +740,27 @@ def _web_link_graph(spark, sf_dir):
     return link_graph(pages)
 
 
+def _web_url_dedup(spark, sf_dir):
+    """Crawl URL dedup (operators/web.py:canonical_url + dedup_urls):
+    three deterministic variants per target page (tracking params,
+    uppercase scheme + fragment + trailing slash, port + unsorted
+    params) collapse to one canonical form; keeper = lexicographic min.
+    Zero-shuffle canonicalization + ONE groupBy."""
+    from data2neo_spark.operators.web import dedup_urls
+
+    d = F.col("doc_id")
+    m = F.floor(d / 3)
+    host = F.concat(F.lit("site"), (m % 11).cast("string"), F.lit(".example"))
+    path = F.concat(F.lit("/d/"), m.cast("string"))
+    url = (
+        F.when(d % 3 == 0, F.concat(F.lit("https://"), host, path, F.lit("?x=1&utm_source=feed")))
+        .when(d % 3 == 1, F.concat(F.lit("HTTPS://"), host, path, F.lit("/?x=1#top")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit(":443"), path, F.lit("?fbclid=zz&x=1")))
+    )
+    pages = _read(spark, sf_dir, "documents").select(url.alias("url"))
+    return dedup_urls(pages)
+
+
 def _corpus_sample_weighted(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES
     exponential-sort, operators/corpus.py:sample_weighted): 200 docs
@@ -1745,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted": _corpus_sample_weighted,
         "corpus_profile": _corpus_profile,
         "web_link_graph": _web_link_graph,
+        "web_url_dedup": _web_url_dedup,
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
         "kg_validate_shapes": _kg_validate_shapes,
@@ -3734,6 +3756,20 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "web_url_dedup": (
+            # canonical form computed arithmetically; the raw variants are
+            # regenerated per doc to take the lexicographic min keeper
+            "WITH b AS (SELECT doc_id, "
+            "  'site' || CAST((doc_id // 3) % 11 AS VARCHAR) || '.example' AS h, "
+            "  '/d/' || CAST(doc_id // 3 AS VARCHAR) AS p FROM documents), "
+            "v AS (SELECT doc_id, h, p, CASE "
+            "  WHEN doc_id % 3 = 0 THEN 'https://' || h || p || '?x=1&utm_source=feed' "
+            "  WHEN doc_id % 3 = 1 THEN 'HTTPS://' || h || p || '/?x=1#top' "
+            "  ELSE 'https://' || h || ':443' || p || '?fbclid=zz&x=1' END AS u FROM b) "
+            "SELECT 'https://' || h || p || '?x=1' AS canonical_url, "
+            "count(*) AS n_variants, min(u) AS keep_url "
+            "FROM v GROUP BY 1"
         ),
         "web_link_graph": (
             # host arithmetic replay of the synthesized anchors; the

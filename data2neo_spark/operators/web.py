@@ -181,3 +181,68 @@ def link_graph(
     return links.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+#: query parameters that never change page identity (tracking junk) —
+#: dropped by canonical_url. Prefix match for utm_*, exact for the rest.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup: lowercased scheme
+    and host, port stripped, fragment dropped, tracking query params
+    removed (``utm_*`` + the known click-id set), remaining params
+    SORTED, trailing slash trimmed from non-root paths, empty path →
+    ``/``. Everything is native Column string/array ops — zero-shuffle,
+    replayable in SQL.
+
+    Two URLs that differ only in parameter order, tracking junk, case
+    of the host, or a fragment map to the same canonical string —
+    crawl frontiers and dedup both key on it.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # scheme matching is case-insensitive here (host_col's anchored
+    # lowercase regex would null out HTTPS:// URLs)
+    host = F.lower(
+        F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    path = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # trim ONE trailing slash from non-root paths
+    path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(p).startswith("utm_")
+        & ~F.split(F.lower(p), "=")[0].isin(*[F.lit(t) for t in TRACKING_PARAMS]),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def dedup_urls(
+    pages: DataFrame, url_col: str = "url", keep: str = "first_id"
+) -> DataFrame:
+    """Crawl URL dedup: group by :func:`canonical_url` and keep one
+    representative per canonical form — ``(canonical_url, n_variants,
+    keep_url)`` with ``keep_url`` the lexicographically smallest member
+    (deterministic at any cluster size). ONE groupBy shuffle with
+    map-side partials; the canonicalization itself rides the scan."""
+    c = canonical_url(F.col(url_col))
+    return (
+        pages.select(c.alias("canonical_url"), F.col(url_col).alias("u"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("u").alias("keep_url"),
+        )
+    )

@@ -110,3 +110,32 @@ def test_extract_links_and_link_graph(spark):
     assert g2.where(
         (F.col("src_host") == "a.example") & (F.col("dst_host") == "a.example")
     ).collect()[0].n_links == 2
+
+
+def test_canonical_url_and_dedup(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.web import canonical_url, dedup_urls
+
+    urls = [
+        "https://Example.org/a/b/?utm_source=x&z=1&a=2#frag",
+        "https://example.org:8080/a/b?a=2&z=1",
+        "HTTPS://example.org/a/b?z=1&a=2&fbclid=abc",
+        "https://example.org/",
+        "https://example.org",
+        "https://other.example/x?ref=news&utm_campaign=c",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    c = {r.url: r.c for r in
+         df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+    # case, port, fragment, tracking junk, param order, trailing slash
+    # all collapse to one form
+    assert c[urls[0]] == c[urls[1]] == c[urls[2]] == "https://example.org/a/b?a=2&z=1"
+    assert c[urls[3]] == c[urls[4]] == "https://example.org/"
+    # ref/utm dropped but real params kept; path case preserved
+    assert c[urls[5]] == "https://other.example/x"
+
+    out = {r.canonical_url: (r.n_variants, r.keep_url)
+           for r in dedup_urls(df).collect()}
+    assert out["https://example.org/a/b?a=2&z=1"][0] == 3
+    # deterministic keeper: lexicographic min of the raw variants
+    assert out["https://example.org/a/b?a=2&z=1"][1] == urls[2]
