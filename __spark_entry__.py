@@ -761,6 +761,28 @@ def _web_url_dedup(spark, sf_dir):
     return dedup_urls(pages)
 
 
+def _graph_centrality(spark, sf_dir):
+    """3-bounded harmonic centrality (operators/graph.py:
+    harmonic_centrality) for ten customer seeds over the undirected
+    Customer—Order—Part KG — integer-exact (scale-60 reciprocals), one
+    groupBy over the khop BFS."""
+    from data2neo_spark.operators.graph import harmonic_centrality
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + F.lit(1_000_000)).alias("dst"),
+    ).unionAll(
+        li.select(
+            (F.col("l_orderkey") + F.lit(1_000_000)).alias("src"),
+            (F.col("l_partkey") + F.lit(2_000_000)).alias("dst"),
+        )
+    )
+    seeds = spark.range(10).select(F.col("id").alias("seed"))
+    return harmonic_centrality(edges, seeds, k=3, undirected=True)
+
+
 def _corpus_sample_weighted(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES
     exponential-sort, operators/corpus.py:sample_weighted): 200 docs
@@ -1769,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _web_url_dedup,
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
+        "graph_centrality": _graph_centrality,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_fuse": _kg_fuse,
@@ -3843,6 +3866,23 @@ FROM r GROUP BY 1
             "SELECT p.word, p.true_count, min(coalesce(tb.cnt, 0)) AS est_count "
             "FROM probes p LEFT JOIN tbl tb ON tb.d = p.d AND tb.bucket = p.bucket "
             "GROUP BY p.word, p.true_count"
+        ),
+        "graph_centrality": (
+            "WITH RECURSIVE e2 AS ("
+            "  SELECT o_custkey AS src, o_orderkey + 1000000 AS dst FROM orders"
+            "  UNION ALL SELECT l_orderkey + 1000000, l_partkey + 2000000 FROM lineitem"
+            "  UNION ALL SELECT o_orderkey + 1000000, o_custkey FROM orders"
+            "  UNION ALL SELECT l_partkey + 2000000, l_orderkey + 1000000 FROM lineitem"
+            "), walk(seed, node, hops) AS ("
+            "  SELECT seed, seed, 0 FROM (SELECT unnest(range(10)) AS seed)"
+            "  UNION"
+            "  SELECT w.seed, e2.dst, w.hops + 1 FROM walk w"
+            "  JOIN e2 ON e2.src = w.node WHERE w.hops < 3"
+            "), mh AS ("
+            "  SELECT seed, node, min(hops) AS min_hops FROM walk GROUP BY 1, 2"
+            ") SELECT seed, count(*) AS n_reached, "
+            "CAST(sum(60 // min_hops) AS BIGINT) AS harmonic_x60 "
+            "FROM mh WHERE min_hops > 0 GROUP BY seed"
         ),
         "graph_khop": (
             "WITH RECURSIVE e2 AS ("

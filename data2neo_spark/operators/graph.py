@@ -426,3 +426,39 @@ def label_propagation(
         labels.count()
         prev.unpersist()
     return labels
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = False,
+    scale: int = 60,
+) -> DataFrame:
+    """k-bounded harmonic centrality per seed:
+    ``C(s) = Σ_{v reached, v≠s} 1/min_hops(s,v)`` — the standard
+    big-graph centrality (closeness breaks on disconnected graphs;
+    harmonic doesn't), truncated at ``k`` hops as at web scale
+    (full-BFS centrality over 10^12 nodes is not a thing; k-bounded is
+    the published practice for crawl graphs).
+
+    Integer-exact: contributions are ``scale // hops`` with the default
+    ``scale=60`` divisible by every hop count ≤ 6, so results are
+    engine-portable longs (``harmonic_x{scale}``), not floats. One
+    groupBy over :func:`khop_reachability`'s output — all scale
+    characteristics inherited from the BFS."""
+    reached = khop_reachability(
+        edges, seeds, k, src=src, dst=dst, undirected=undirected
+    )
+    return (
+        reached.where(F.col("min_hops") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr(f"{int(scale)}L div min_hops")).alias(
+                f"harmonic_x{int(scale)}"
+            ),
+        )
+    )

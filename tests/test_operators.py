@@ -2010,3 +2010,19 @@ def test_profile_table(spark):
     # column subset selection
     sub = profile_table(df, columns=["cat"]).collect()
     assert [r.column for r in sub] == ["cat"]
+
+
+def test_harmonic_centrality(spark):
+    from data2neo_spark.operators.graph import harmonic_centrality
+
+    # path 1-2-3-4: from 1 within k=2 -> 2 at hop1, 3 at hop2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "seed long")
+    out = {r.seed: (r.n_reached, r.harmonic_x60)
+           for r in harmonic_centrality(edges, seeds, k=2,
+                                        undirected=True).collect()}
+    # seed 1: 60/1 + 60/2 = 90; seed 2 reaches 1,3 at hop1 and 4 at hop2
+    assert out[1] == (2, 90)
+    assert out[2] == (3, 60 + 60 + 30)
