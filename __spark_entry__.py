@@ -761,6 +761,27 @@ def _web_url_dedup(spark, sf_dir):
     return dedup_urls(pages)
 
 
+def _kg_negative_samples(spark, sf_dir):
+    """Deterministic tail-corruption negative sampling
+    (operators/graph.py:negative_samples) for KG-embedding training:
+    2 filtered negatives per CONTAINS positive (orders%50 slice),
+    join-free md5 corruption into the dense part-id space [0, 2000);
+    one anti-join drops accidental positives."""
+    from data2neo_spark.operators.graph import negative_samples
+
+    pos = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 50 == 0)
+        .select(
+            F.col("l_orderkey").alias("subj"),
+            F.lit("CONTAINS").alias("pred"),
+            F.col("l_partkey").alias("obj"),
+        )
+        .distinct()
+    )
+    return negative_samples(pos, n_entities=2000, k=2, seed=0)
+
+
 def _graph_centrality(spark, sf_dir):
     """3-bounded harmonic centrality (operators/graph.py:
     harmonic_centrality) for ten customer seeds over the undirected
@@ -1792,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
         "graph_centrality": _graph_centrality,
+        "kg_negative_samples": _kg_negative_samples,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_fuse": _kg_fuse,
@@ -3866,6 +3888,20 @@ FROM r GROUP BY 1
             "SELECT p.word, p.true_count, min(coalesce(tb.cnt, 0)) AS est_count "
             "FROM probes p LEFT JOIN tbl tb ON tb.d = p.d AND tb.bucket = p.bucket "
             "GROUP BY p.word, p.true_count"
+        ),
+        "kg_negative_samples": (
+            "WITH pos AS (SELECT DISTINCT l_orderkey AS subj, "
+            "  'CONTAINS' AS pred, l_partkey AS obj "
+            "  FROM lineitem WHERE l_orderkey % 50 = 0), "
+            "n AS (SELECT subj, pred, obj, unnest([0, 1]) AS neg_idx FROM pos), "
+            "c AS (SELECT subj, pred, neg_idx, "
+            "  CAST(concat('0x', substr(md5('0|' || CAST(subj AS VARCHAR) "
+            "    || '|CONTAINS|' || CAST(obj AS VARCHAR) || '|' "
+            "    || CAST(neg_idx AS VARCHAR)), 1, 15)) AS BIGINT) % 2000 "
+            "  AS obj_neg FROM n) "
+            "SELECT c.subj, c.pred, c.obj_neg, c.neg_idx FROM c "
+            "LEFT JOIN pos p ON p.subj = c.subj AND p.obj = c.obj_neg "
+            "WHERE p.subj IS NULL"
         ),
         "graph_centrality": (
             "WITH RECURSIVE e2 AS ("

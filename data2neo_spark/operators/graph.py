@@ -462,3 +462,62 @@ def harmonic_centrality(
             ),
         )
     )
+
+
+def negative_samples(
+    triples: DataFrame,
+    n_entities: int,
+    k: int = 1,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    seed: int = 0,
+    entity_base: int = 0,
+    filter_true: bool = True,
+) -> DataFrame:
+    """Deterministic tail-corruption negative sampling for KG-embedding
+    training (TransE-family): each positive ``(s, p, o)`` yields ``k``
+    corrupted ``(s, p, o')`` with ``o' = entity_base + md5(seed‖s‖p‖o‖i)
+    mod n_entities`` — JOIN-FREE corruption under the dense-id contract
+    (entity ids occupy ``[entity_base, entity_base + n_entities)``; use
+    core/registry.IDRegistry to densify arbitrary key spaces first, the
+    same integer-id contract as text.pack_sequences).
+
+    ``filter_true`` drops accidental positives (a corrupted tail that
+    reproduces a true triple) with one LEFT ANTI join against the
+    positive set — the standard filtered-negative protocol. Output:
+    ``(subj, pred, obj_neg, neg_idx)``.
+
+    Scale shape: corruption is a zero-shuffle ×k explode projection
+    (hash arithmetic, order-free — identical samples at any cluster
+    size); the optional anti-join is the only exchange, keyed on the
+    triple. md5-derived, so a SQL oracle replays every sample.
+    """
+    from .dedup import md5_hash60
+
+    if k < 1 or n_entities < 2:
+        raise ValueError("k >= 1 and n_entities >= 2 required")
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_idx")
+    h = md5_hash60(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col(subj).cast("string"),
+            F.col(pred).cast("string"),
+            F.col(obj).cast("string"),
+            F.col("neg_idx").cast("string"),
+        )
+    )
+    neg = (
+        triples.select(subj, pred, obj, idx)
+        .withColumn("obj_neg", F.lit(entity_base) + (h % F.lit(n_entities)))
+        .select(subj, pred, F.col("obj_neg"), "neg_idx")
+    )
+    if filter_true:
+        pos = triples.select(
+            F.col(subj).alias(subj),
+            F.col(pred).alias(pred),
+            F.col(obj).alias("obj_neg"),
+        ).distinct()
+        neg = neg.join(pos, [subj, pred, "obj_neg"], "left_anti")
+    return neg

@@ -2026,3 +2026,29 @@ def test_harmonic_centrality(spark):
     # seed 1: 60/1 + 60/2 = 90; seed 2 reaches 1,3 at hop1 and 4 at hop2
     assert out[1] == (2, 90)
     assert out[2] == (3, 60 + 60 + 30)
+
+
+def test_negative_samples(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.graph import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, "R", 0), (1, "R", 1), (2, "R", 0)],
+        "subj long, pred string, obj long",
+    )
+    # n_entities=2: every corrupted tail is 0 or 1, and subj=1 has BOTH
+    # as true objects -> all its negatives are filtered out
+    neg = negative_samples(pos, n_entities=2, k=3, seed=5)
+    rows = [(r.subj, r.obj_neg) for r in neg.collect()]
+    assert all(s == 2 for s, _ in rows)
+    assert all(o in (0, 1) for _, o in rows)
+    assert all(o != 0 for _, o in rows)  # (2,R,0) is a true triple
+
+    # unfiltered: exactly k rows per positive, deterministic across
+    # partitionings
+    raw = negative_samples(pos, n_entities=1000, k=2, filter_true=False)
+    assert raw.count() == 6
+    again = negative_samples(
+        pos.repartition(7), n_entities=1000, k=2, filter_true=False
+    )
+    assert {tuple(r) for r in raw.collect()} == {tuple(r) for r in again.collect()}
