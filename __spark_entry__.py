@@ -740,6 +740,34 @@ def _web_link_graph(spark, sf_dir):
     return link_graph(pages)
 
 
+def _web_anchor_aliases(spark, sf_dir):
+    """Anchor-text alias dictionary (operators/web.py:alias_dictionary):
+    real html anchors parsed by the whole-match-then-re-extract pattern
+    (never re-scanning the page), aggregated to the entity-linking
+    prior (dst_host, anchor_text, n). Pages synthesized from doc_id so
+    the oracle replays the alias arithmetic."""
+    from data2neo_spark.operators.web import alias_dictionary
+
+    d = F.col("doc_id")
+    ent = (d % 50).cast("string")
+    anchor = F.concat(
+        F.lit('<a href="https://ent'), ent, F.lit('.example/w">'),
+        F.when(d % 4 == 0, F.concat(F.lit("alias_"), ent))
+        .otherwise(F.concat(F.lit("ent"), ent)),
+        F.lit("</a>"),
+    )
+    pages = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://src"), (d % 7).cast("string"),
+                 F.lit(".example/p/"), d.cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>x</p>"), anchor,
+                     F.lit('<a href="/self"></a></body></html>')),
+            "utf-8",
+        ).alias("html"),
+    )
+    return alias_dictionary(pages)
+
+
 def _web_url_dedup(spark, sf_dir):
     """Crawl URL dedup (operators/web.py:canonical_url + dedup_urls):
     three deterministic variants per target page (tracking params,
@@ -1810,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _corpus_profile,
         "web_link_graph": _web_link_graph,
         "web_url_dedup": _web_url_dedup,
+        "web_anchor_aliases": _web_anchor_aliases,
         "text_trigram_lm": _text_trigram_lm,
         "graph_communities": _graph_communities,
         "graph_centrality": _graph_centrality,
@@ -3801,6 +3830,16 @@ FROM r GROUP BY 1
             "AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "web_anchor_aliases": (
+            # empty-text self anchors drop; alias text varies by doc_id%4
+            "WITH a AS (SELECT doc_id % 50 AS e, "
+            "  CASE WHEN doc_id % 4 = 0 "
+            "       THEN 'alias_' || CAST(doc_id % 50 AS VARCHAR) "
+            "       ELSE 'ent' || CAST(doc_id % 50 AS VARCHAR) END AS txt "
+            "  FROM documents) "
+            "SELECT 'ent' || CAST(e AS VARCHAR) || '.example' AS dst_host, "
+            "txt AS anchor_text, count(*) AS n FROM a GROUP BY 1, 2"
         ),
         "web_url_dedup": (
             # canonical form computed arithmetically; the raw variants are

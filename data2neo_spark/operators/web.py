@@ -246,3 +246,52 @@ def dedup_urls(
             F.min("u").alias("keep_url"),
         )
     )
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per anchor WITH its link text:
+    ``(src_host, dst_host, anchor_text)``. The whole-anchor match is
+    extracted once per page scan (native regexp_extract_all, one
+    explode) and href/text re-extract from the SHORT match string —
+    never the full page (the extract_svo contract). Nested markup
+    inside the anchor is out of scope (text stops at the first tag).
+    """
+    anchors = F.expr(
+        f"regexp_extract_all(decode({html_col}, 'utf-8'), "
+        "'(<a href=\"[^\"]+\"[^>]*>[^<]*</a>)', 1)"
+    )
+    src = host_col(F.col(url_col))
+    m = pages.select(src.alias("src_host"), F.explode(anchors).alias("_a"))
+    dst_url = F.regexp_extract(F.col("_a"), '<a href="([^"]+)"', 1)
+    txt = F.regexp_extract(F.col("_a"), ">([^<]*)</a>", 1)
+    dst = host_col(dst_url)
+    return m.select(
+        "src_host",
+        F.coalesce(dst, F.col("src_host")).alias("dst_host"),
+        txt.alias("anchor_text"),
+    )
+
+
+def alias_dictionary(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_count: int = 1,
+) -> DataFrame:
+    """Anchor-text alias dictionary: ``(dst_host, anchor_text, n)`` —
+    how the web refers to each target. The classic entity-linking prior
+    (anchor texts are crowd-sourced entity aliases); feed the result to
+    the mention-detection dictionary join in pipeline/webtext.
+    Empty-text anchors drop. ONE groupBy with map-side partials over
+    the zero-shuffle anchor scan."""
+    a = anchor_texts(pages, url_col, html_col)
+    return (
+        a.where(F.col("anchor_text") != "")
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )

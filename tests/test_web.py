@@ -139,3 +139,29 @@ def test_canonical_url_and_dedup(spark):
     assert out["https://example.org/a/b?a=2&z=1"][0] == 3
     # deterministic keeper: lexicographic min of the raw variants
     assert out["https://example.org/a/b?a=2&z=1"][1] == urls[2]
+
+
+def test_anchor_texts_and_alias_dictionary(spark):
+    from data2neo_spark.operators.web import alias_dictionary, anchor_texts
+
+    html = (
+        '<html><body>'
+        '<a href="https://wiki.example/Spark">Apache Spark</a>'
+        '<a href="https://wiki.example/Spark" class="x">Spark</a>'
+        '<a href="/local">ignored-empty-host-resolution</a>'
+        '<a href="https://wiki.example/Flink"></a>'  # empty text
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/p", html.encode())], "url string, html binary"
+    )
+    rows = {(r.dst_host, r.anchor_text) for r in anchor_texts(pages).collect()}
+    assert ("wiki.example", "Apache Spark") in rows
+    assert ("wiki.example", "Spark") in rows  # attributes after href ok
+    assert ("a.example", "ignored-empty-host-resolution") in rows  # relative
+    assert ("wiki.example", "") in rows
+
+    d = {(r.dst_host, r.anchor_text): r.n
+         for r in alias_dictionary(pages).collect()}
+    assert ("wiki.example", "") not in d  # empty text dropped
+    assert d[("wiki.example", "Apache Spark")] == 1
