@@ -206,3 +206,42 @@ def test_pack_sequences_no_single_partition_exchange(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plan_of(pack_sequences(docs, "doc_id", budget=512, n_buckets=8))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_round5_second_wave_plan_shapes(spark):
+    """Plan gates for the second-wave operators: the documented shuffle
+    inventories (SCALE.md) hold in the physical plan."""
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # weighted sampling: zero exchanges, top-k not global sort
+    from data2neo_spark.operators.corpus import sample_weighted
+    p = plan_of(sample_weighted(docs.select("doc_id", "n_chars"),
+                                "n_chars", k=10))
+    assert "Exchange" not in p and "TakeOrderedAndProject" in p
+
+    # link graph: ONE hash exchange (the host-pair groupBy), no UDF
+    from data2neo_spark.operators.web import link_graph
+    pages = docs.selectExpr(
+        "concat('https://h', doc_id % 5, '.example/p') AS url",
+        "encode(concat('<a href=\"https://t', doc_id % 7,"
+        " '.example/x\"></a>'), 'utf-8') AS html",
+    )
+    p = plan_of(link_graph(pages))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # HLL: register groupBy + rollup = exactly two exchanges
+    from data2neo_spark.operators.sketch import hll_distinct
+    p = plan_of(hll_distinct(docs.selectExpr("lang",
+                "CAST(doc_id AS STRING) AS v"), "v", ["lang"]))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+    # negative sampling without the filter join: zero exchanges
+    from data2neo_spark.operators.graph import negative_samples
+    pos = docs.selectExpr("doc_id AS subj", "'R' AS pred",
+                          "doc_id % 97 AS obj")
+    p = plan_of(negative_samples(pos, n_entities=97, k=2, filter_true=False))
+    assert "Exchange" not in p
