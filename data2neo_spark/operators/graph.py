@@ -334,6 +334,9 @@ def khop_reachability(
         e = e.unionAll(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
         )
+    # the edge frame is probed once per layer — persist it so k layers
+    # cost one source scan, not k (pagerank's `ed` contract)
+    e = e.persist()
     seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
 
     from pyspark.sql import Observation
@@ -343,15 +346,25 @@ def khop_reachability(
     ).persist()
     frontier = reached.select("seed", "node")
     n = frontier.count()  # only the seed layer pays a standalone count;
-    for hop in range(1, k + 1):  # later sizes ride the materializing job
+    reached_n = n  # later sizes ride the materializing job
+    for hop in range(1, k + 1):
         if n == 0:
             break
         f = F.broadcast(frontier) if n <= broadcast_frontier_max else frontier
+        # the dedup-vs-reached anti-join broadcasts its right side while
+        # the reached set is small (it is bounded by seeds × visited
+        # nodes — tiny relative to the edge frame), saving the exchange
+        # on the candidate stream every layer
+        anti = (
+            F.broadcast(reached)
+            if reached_n <= broadcast_frontier_max
+            else reached
+        )
         nxt = (
             f.join(e, f["node"] == e["_s"])
             .select("seed", F.col("_d").alias("node"))
             .distinct()
-            .join(reached, ["seed", "node"], "left_anti")
+            .join(anti, ["seed", "node"], "left_anti")
             .withColumn("min_hops", F.lit(hop).cast("int"))
         )
         obs = Observation()
@@ -365,8 +378,10 @@ def khop_reachability(
             # AQE empty-relation propagation can prune the CollectMetrics
             # node (no metrics row); nxt is persisted, count is cheap
             n = nxt.count()
+        reached_n += n
         prev.unpersist()
         frontier = nxt.select("seed", "node")
+    e.unpersist()
     return reached
 
 
