@@ -414,6 +414,9 @@ def label_propagation(
     nb = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
+    # probed every round — persist so rounds don't re-derive the
+    # adjacency from the source plan (khop/pagerank edge contract)
+    nb = nb.persist()
     nodes = nb.select("node").distinct()
     labels = nodes.select("node", F.col("node").alias("label")).persist()
     n_nodes = labels.count()
@@ -426,11 +429,14 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
-        top = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+        # top-1 per node as a HASH aggregate, not a sort window: winner
+        # maximizes (count, -label) — max count, min label on ties —
+        # identical to row_number() over (ORDER BY c DESC, label) but
+        # partial-agg combinable and with no per-round sort
+        top = votes.groupBy("node").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("_new")
         )
         prev = labels
         labels = (
@@ -440,6 +446,7 @@ def label_propagation(
         )
         labels.count()
         prev.unpersist()
+    nb.unpersist()
     return labels
 
 
