@@ -300,6 +300,7 @@ def khop_reachability(
     dst: str = "dst",
     undirected: bool = False,
     broadcast_frontier_max: int = 5_000_000,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """Bounded k-hop BFS from a seed set: ``(seed, node, min_hops)`` for
     every node reachable from each seed within ``k`` hops (the seed
@@ -326,6 +327,12 @@ def khop_reachability(
     Engine-portable: integer hop arithmetic and set semantics only, so a
     SQL oracle replays it with a recursive CTE (UNION-dedup on
     (seed, node, hops), then min(hops)).
+
+    ``checkpoint_dir`` makes a long BFS resumable (north-rule
+    contract, same layout as pagerank): each layer's reached table
+    writes to ``<dir>/khop_hop_<i>`` and a killed job restarts from the
+    highest complete layer — the layer recurrence is a pure function of
+    the previous layer, so resumption is exact.
     """
     if k < 0:
         raise ValueError("k must be >= 0")
@@ -344,10 +351,33 @@ def khop_reachability(
     reached = seed_nodes.select(
         "seed", F.col("seed").alias("node"), F.lit(0).cast("int").alias("min_hops")
     ).persist()
-    frontier = reached.select("seed", "node")
-    n = frontier.count()  # only the seed layer pays a standalone count;
-    reached_n = n  # later sizes ride the materializing job
-    for hop in range(1, k + 1):
+    start_hop = 1
+    if checkpoint_dir is not None:
+        # resume from the highest COMPLETE layer below k (pagerank's
+        # checkpoint contract, graph.py:82): the reached table after hop
+        # j is a pure function of the input, so resumption is exact
+        import os as _os
+
+        done = sorted(
+            int(d.rsplit("_", 1)[1])
+            for d in (_os.listdir(checkpoint_dir)
+                      if _os.path.isdir(checkpoint_dir) else [])
+            if d.startswith("khop_hop_")
+            and _os.path.exists(_os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+        done = [h for h in done if h <= k]
+        if done:
+            start_hop = done[-1] + 1
+            reached.unpersist()
+            reached = edges.sparkSession.read.parquet(
+                _os.path.join(checkpoint_dir, f"khop_hop_{done[-1]}")
+            ).persist()
+    frontier = reached.where(F.col("min_hops") == start_hop - 1).select(
+        "seed", "node"
+    )
+    n = frontier.count()  # only the resume layer pays a standalone count;
+    reached_n = reached.count() if start_hop > 1 else n
+    for hop in range(start_hop, k + 1):
         if n == 0:
             break
         f = F.broadcast(frontier) if n <= broadcast_frontier_max else frontier
@@ -372,6 +402,12 @@ def khop_reachability(
         prev = reached
         reached = reached.unionAll(nxt).persist()
         reached.count()  # materialize before unpersisting parents
+        if checkpoint_dir is not None:
+            import os as _os
+
+            reached.write.mode("overwrite").parquet(
+                _os.path.join(checkpoint_dir, f"khop_hop_{hop}")
+            )
         try:
             n = obs.get["n"]  # frontier size observed for free on that job
         except Exception:

@@ -2052,3 +2052,32 @@ def test_negative_samples(spark):
         pos.repartition(7), n_entities=1000, k=2, filter_true=False
     )
     assert {tuple(r) for r in raw.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_khop_checkpoint_resume(spark, tmp_path):
+    from data2neo_spark.operators.graph import khop_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    ck = str(tmp_path / "khop")
+
+    full = {(r.node): r.min_hops
+            for r in khop_reachability(edges, seeds, k=3).collect()}
+
+    # run k=1 with checkpointing (writes hop 1), then k=3 resumes from it
+    khop_reachability(edges, seeds, k=1, checkpoint_dir=ck).collect()
+    import os
+    assert os.path.exists(os.path.join(ck, "khop_hop_1", "_SUCCESS"))
+    resumed = {(r.node): r.min_hops
+               for r in khop_reachability(edges, seeds, k=3,
+                                          checkpoint_dir=ck).collect()}
+    assert resumed == full == {1: 0, 2: 1, 3: 2, 4: 3}
+    assert os.path.exists(os.path.join(ck, "khop_hop_3", "_SUCCESS"))
+
+    # a fully-checkpointed run resumes past the loop entirely
+    again = {(r.node): r.min_hops
+             for r in khop_reachability(edges, seeds, k=3,
+                                        checkpoint_dir=ck).collect()}
+    assert again == full
