@@ -427,6 +427,7 @@ def label_propagation(
     dst: str = "dst",
     iters: int = 3,
     broadcast_nodes_max: int = 5_000_000,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation
     (Raghavan et al. 2007), made DETERMINISTIC: labels initialize to the
@@ -444,9 +445,9 @@ def label_propagation(
     rows so the adjacency never shuffles — then a (node, label) vote
     groupBy and a per-node top-1 window, both partial-agg friendly.
     Labels persist per round, previous rounds unpersist (pagerank's
-    memory contract)."""
-    from pyspark.sql import Window
-
+    memory contract). ``checkpoint_dir`` writes each round's label table
+    to ``<dir>/lpa_round_<i>`` and resumes from the highest complete
+    round (pagerank's checkpoint contract)."""
     nb = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
@@ -456,7 +457,25 @@ def label_propagation(
     nodes = nb.select("node").distinct()
     labels = nodes.select("node", F.col("node").alias("label")).persist()
     n_nodes = labels.count()
-    for _ in range(iters):
+    start_round = 0
+    if checkpoint_dir is not None:
+        import os as _os
+
+        done = sorted(
+            int(d.rsplit("_", 1)[1])
+            for d in (_os.listdir(checkpoint_dir)
+                      if _os.path.isdir(checkpoint_dir) else [])
+            if d.startswith("lpa_round_")
+            and _os.path.exists(_os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+        done = [r for r in done if r < iters]
+        if done:
+            start_round = done[-1] + 1
+            labels.unpersist()
+            labels = edges.sparkSession.read.parquet(
+                _os.path.join(checkpoint_dir, f"lpa_round_{done[-1]}")
+            ).persist()
+    for _round in range(start_round, iters):
         lbl = labels.select(F.col("node").alias("nbr"), F.col("label"))
         if n_nodes <= broadcast_nodes_max:
             lbl = F.broadcast(lbl)
@@ -481,6 +500,12 @@ def label_propagation(
             .persist()
         )
         labels.count()
+        if checkpoint_dir is not None:
+            import os as _os
+
+            labels.write.mode("overwrite").parquet(
+                _os.path.join(checkpoint_dir, f"lpa_round_{_round}")
+            )
         prev.unpersist()
     nb.unpersist()
     return labels

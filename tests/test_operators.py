@@ -2081,3 +2081,22 @@ def test_khop_checkpoint_resume(spark, tmp_path):
              for r in khop_reachability(edges, seeds, k=3,
                                         checkpoint_dir=ck).collect()}
     assert again == full
+
+
+def test_label_propagation_checkpoint_resume(spark, tmp_path):
+    from data2neo_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    ck = str(tmp_path / "lpa")
+    full = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    # one checkpointed round, then resume to 3
+    label_propagation(edges, iters=1, checkpoint_dir=ck).collect()
+    import os
+    assert os.path.exists(os.path.join(ck, "lpa_round_0", "_SUCCESS"))
+    resumed = {r.node: r.label
+               for r in label_propagation(edges, iters=3,
+                                          checkpoint_dir=ck).collect()}
+    assert resumed == full
