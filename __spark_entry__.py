@@ -789,6 +789,29 @@ def _web_url_dedup(spark, sf_dir):
     return dedup_urls(pages)
 
 
+def _graph_sample_neighbors(spark, sf_dir):
+    """GraphSAGE-style layered neighbor sampling (operators/graph.py:
+    sample_neighbors): fanouts [5, 3] from three customer seeds over
+    the undirected KG, md5-hash-ranked — deterministic minibatch
+    construction at any cluster size; edge frame never moves while the
+    frontier broadcasts."""
+    from data2neo_spark.operators.graph import sample_neighbors
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") + F.lit(1_000_000)).alias("dst"),
+    ).unionAll(
+        li.select(
+            (F.col("l_orderkey") + F.lit(1_000_000)).alias("src"),
+            (F.col("l_partkey") + F.lit(2_000_000)).alias("dst"),
+        )
+    )
+    seeds = spark.range(3).select(F.col("id").alias("seed"))
+    return sample_neighbors(edges, seeds, [5, 3], undirected=True, seed=0)
+
+
 def _kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling
     (operators/graph.py:negative_samples) for KG-embedding training:
@@ -1842,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": _graph_communities,
         "graph_centrality": _graph_centrality,
         "kg_negative_samples": _kg_negative_samples,
+        "graph_sample_neighbors": _graph_sample_neighbors,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_fuse": _kg_fuse,
@@ -3926,6 +3950,31 @@ FROM r GROUP BY 1
             "SELECT p.word, p.true_count, min(coalesce(tb.cnt, 0)) AS est_count "
             "FROM probes p LEFT JOIN tbl tb ON tb.d = p.d AND tb.bucket = p.bucket "
             "GROUP BY p.word, p.true_count"
+        ),
+        "graph_sample_neighbors": (
+            "WITH e2 AS ("
+            "  SELECT o_custkey AS src, o_orderkey + 1000000 AS dst FROM orders"
+            "  UNION ALL SELECT l_orderkey + 1000000, l_partkey + 2000000 FROM lineitem"
+            "  UNION ALL SELECT o_orderkey + 1000000, o_custkey FROM orders"
+            "  UNION ALL SELECT l_partkey + 2000000, l_orderkey + 1000000 FROM lineitem"
+            "), f0 AS (SELECT seed, seed AS node FROM (SELECT unnest(range(3)) AS seed)), "
+            "c1 AS (SELECT DISTINCT f0.seed, f0.node, e2.dst AS nbr "
+            "       FROM f0 JOIN e2 ON e2.src = f0.node), "
+            "s1 AS (SELECT seed, node, nbr FROM c1 QUALIFY row_number() OVER ("
+            "  PARTITION BY seed, node ORDER BY "
+            "  CAST(concat('0x', substr(md5('0|' || CAST(seed AS VARCHAR) || '|' "
+            "    || CAST(node AS VARCHAR) || '|' || CAST(nbr AS VARCHAR)), 1, 15)) "
+            "  AS BIGINT), nbr) <= 5), "
+            "f1 AS (SELECT DISTINCT seed, nbr AS node FROM s1), "
+            "c2 AS (SELECT DISTINCT f1.seed, f1.node, e2.dst AS nbr "
+            "       FROM f1 JOIN e2 ON e2.src = f1.node), "
+            "s2 AS (SELECT seed, node, nbr FROM c2 QUALIFY row_number() OVER ("
+            "  PARTITION BY seed, node ORDER BY "
+            "  CAST(concat('0x', substr(md5('0|' || CAST(seed AS VARCHAR) || '|' "
+            "    || CAST(node AS VARCHAR) || '|' || CAST(nbr AS VARCHAR)), 1, 15)) "
+            "  AS BIGINT), nbr) <= 3) "
+            "SELECT seed, CAST(1 AS INT) AS layer, node, nbr FROM s1 "
+            "UNION ALL SELECT seed, CAST(2 AS INT), node, nbr FROM s2"
         ),
         "kg_negative_samples": (
             "WITH pos AS (SELECT DISTINCT l_orderkey AS subj, "

@@ -604,3 +604,88 @@ def negative_samples(
         ).distinct()
         neg = neg.join(pos, [subj, pred, "obj_neg"], "left_anti")
     return neg
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = False,
+    seed: int = 0,
+    broadcast_frontier_max: int = 5_000_000,
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling for GNN minibatches:
+    layer ``i`` keeps at most ``fanouts[i]`` neighbors PER (seed,
+    frontier-node), chosen by md5-hash rank — deterministic at any
+    cluster size (no per-partition rand()), revisits allowed (standard
+    GNN sampling semantics; use :func:`khop_reachability` when you need
+    min-hop sets). Returns the sampled edge list
+    ``(seed, layer, node, nbr)``.
+
+    Scale shape per layer: frontier joins the persisted edge frame
+    (frontier broadcasts under the gate, so the edge frame never
+    moves), then ONE (seed, node)-keyed top-k window over candidate
+    rows already bounded by frontier×degree. The output is
+    Σ_i Π_{j≤i} fanout_j rows per seed — minibatch-sized by
+    construction, independent of graph size.
+    """
+    from .dedup import md5_hash60
+    from pyspark.sql import Window
+
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.unionAll(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    e = e.persist()
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"))
+    )
+    n = frontier.count()
+    layers = []
+    for layer, fanout in enumerate(fanouts, start=1):
+        if n == 0:
+            break
+        f = F.broadcast(frontier) if n <= broadcast_frontier_max else frontier
+        cand = f.join(e, f["node"] == e["_s"]).select(
+            "seed", "node", F.col("_d").alias("nbr")
+        ).distinct()
+        rank_key = md5_hash60(
+            F.concat_ws(
+                "|",
+                F.lit(str(seed)),
+                F.col("seed").cast("string"),
+                F.col("node").cast("string"),
+                F.col("nbr").cast("string"),
+            )
+        )
+        w = Window.partitionBy("seed", "node").orderBy(rank_key, F.col("nbr"))
+        sampled = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= int(fanout))
+            .select(
+                "seed",
+                F.lit(layer).cast("int").alias("layer"),
+                "node",
+                "nbr",
+            )
+            .persist()
+        )
+        layers.append(sampled)
+        frontier = sampled.select("seed", F.col("nbr").alias("node")).distinct()
+        n = frontier.count()
+    e.unpersist()
+    if not layers:
+        return frontier.sparkSession.createDataFrame(
+            [], "seed long, layer int, node long, nbr long"
+        )
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionAll(l)
+    return out

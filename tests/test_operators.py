@@ -2100,3 +2100,34 @@ def test_label_propagation_checkpoint_resume(spark, tmp_path):
                for r in label_propagation(edges, iters=3,
                                           checkpoint_dir=ck).collect()}
     assert resumed == full
+
+
+def test_sample_neighbors(spark):
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.graph import sample_neighbors
+
+    # star: node 0 connected to 1..20
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = sample_neighbors(edges, seeds, [5, 2], seed=7)
+    l1 = [r for r in out.collect() if r.layer == 1]
+    l2 = [r for r in out.collect() if r.layer == 2]
+    # layer 1: exactly fanout 5 of the 20 leaves; layer 2: leaves have no
+    # out-edges (directed), so empty
+    assert len(l1) == 5 and len(l2) == 0
+    assert all(r.node == 0 and 1 <= r.nbr <= 20 for r in l1)
+
+    # undirected: layer 2 expands leaf -> hub (1 nbr each, fanout 2 caps
+    # nothing), deterministic across partitionings
+    und = sample_neighbors(edges, seeds, [5, 2], undirected=True, seed=7)
+    und2 = sample_neighbors(
+        edges.repartition(9), seeds, [5, 2], undirected=True, seed=7
+    )
+    assert {tuple(r) for r in und.collect()} == {tuple(r) for r in und2.collect()}
+    assert und.where(F.col("layer") == 2).count() == 5  # each leaf -> hub
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sample_neighbors(edges, seeds, [])
