@@ -1485,6 +1485,23 @@ def _range_join_events(spark, sf_dir):
     return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
 
 
+def _events_funnel(spark, sf_dir):
+    """Ordered funnel (operators/temporal.py:funnel): view → click →
+    purchase with strict first-touch ordering per user; one key-reusing
+    filtered min-aggregate per step. Output aggregated to funnel
+    counts: (steps_completed, n_users)."""
+    from data2neo_spark.operators.temporal import funnel
+
+    # thin the dense synthetic stream (keep 1/7 of events) so the
+    # funnel actually discriminates — full data completes everywhere
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    per_user = funnel(ev, ["user_id"], "ts", "event_type",
+                      ["view", "click", "purchase"])
+    return per_user.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def _events_sessionize(spark, sf_dir):
     """Gap-based batch sessionization (operators/temporal.py:sessionize):
     per-user sessions split at >30 min inactivity, summarized per session.
@@ -1852,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 late additions — never driver-checked, so they lead
         "events_sessionize": _events_sessionize,
+        "events_funnel": _events_funnel,
         "kg_export_ntriples": _kg_export_ntriples,
         "graph_khop": _graph_khop,
         "sketch_hll": _sketch_hll,
@@ -4043,6 +4061,24 @@ FROM r GROUP BY 1
             "'<http://example.org/node/Region:' || CAST(n_regionkey AS VARCHAR) "
             "|| '> <http://example.org/prop/rkey> \"' || CAST(n_regionkey AS VARCHAR) "
             "|| '\"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM nation"
+        ),
+        "events_funnel": (
+            "WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM ev "
+            "            WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e "
+            "       JOIN s1 ON s1.user_id = e.user_id "
+            "       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e "
+            "       JOIN s2 ON s2.user_id = e.user_id "
+            "       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1), "
+            "per_user AS (SELECT s1.user_id, "
+            "  1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END "
+            "    + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS steps_completed "
+            "  FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id "
+            "  LEFT JOIN s3 ON s3.user_id = s1.user_id) "
+            "SELECT steps_completed, count(*) AS n_users "
+            "FROM per_user GROUP BY 1"
         ),
         "events_sessionize": (
             "WITH flagged AS ("

@@ -310,3 +310,58 @@ def snapshot_asof(
         (F.col(from_col) <= t)
         & (F.col(to_col).isNull() | (F.col(to_col) > t))
     ).drop(to_col)
+
+
+def funnel(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    step_col: str,
+    steps: List[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, how far through the
+    ``steps`` sequence it progressed, requiring each step to occur
+    STRICTLY AFTER the previous one (first-touch semantics: the
+    earliest qualifying timestamp per step is the anchor — the standard
+    product-analytics funnel). Returns
+    ``(keys…, steps_completed, completed_at)`` with ``completed_at``
+    the timestamp of the deepest completed step; keys that never
+    perform ``steps[0]`` are absent.
+
+    Scale shape: one filtered min-aggregate per step, every one keyed
+    on ``key_cols`` — the per-step joins and groupBys all reuse the
+    same hash partitioning (no extra exchanges beyond the first per
+    branch), and each intermediate frame is one row per surviving key,
+    monotonically shrinking. len(steps) is small by definition; the
+    event frame is scanned once per step with the step filter pushed
+    into the scan.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(*key_cols, F.col(ts_col).alias("_ts"), F.col(step_col).alias("_st"))
+    prog = (
+        ev.where(F.col("_st") == steps[0])
+        .groupBy(*key_cols)
+        .agg(F.min("_ts").alias("_t1"))
+    )
+    t_cols = ["_t1"]
+    for i, step in enumerate(steps[1:], start=2):
+        prev_t = t_cols[-1]
+        nxt = (
+            ev.where(F.col("_st") == step)
+            .join(prog.select(*key_cols, prev_t), key_cols)
+            .where(F.col("_ts") > F.col(prev_t))
+            .groupBy(*key_cols)
+            .agg(F.min("_ts").alias(f"_t{i}"))
+        )
+        prog = prog.join(nxt, key_cols, "left")
+        t_cols.append(f"_t{i}")
+    completed = sum(
+        (F.col(t).isNotNull().cast("int") for t in t_cols), F.lit(0)
+    )
+    deepest = F.coalesce(*[F.col(t) for t in reversed(t_cols)])
+    return prog.select(
+        *key_cols,
+        completed.alias("steps_completed"),
+        deepest.alias("completed_at"),
+    )

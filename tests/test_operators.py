@@ -2131,3 +2131,34 @@ def test_sample_neighbors(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sample_neighbors(edges, seeds, [])
+
+
+def test_funnel(spark):
+    from data2neo_spark.operators.temporal import funnel
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            # u1 completes A->B->C in order
+            (1, t(0), "A"), (1, t(1), "B"), (1, t(2), "C"),
+            # u2: B happens BEFORE A -> stops at 1 (strict ordering),
+            # even though a later C exists
+            (2, t(0), "B"), (2, t(1), "A"), (2, t(2), "C"),
+            # u3: A then C only -> 1 step (B missing blocks C)
+            (3, t(0), "A"), (3, t(5), "C"),
+            # u4: never does A -> absent
+            (4, t(0), "B"),
+            # u5: first-touch anchor — A@0, B@1, but ALSO A@3; C@2 must
+            # count because the anchor is the EARLIEST chain
+            (5, t(0), "A"), (5, t(1), "B"), (5, t(2), "C"), (5, t(3), "A"),
+        ],
+        "user long, ts timestamp, step string",
+    )
+    out = {r.user: (r.steps_completed, r.completed_at)
+           for r in funnel(ev, ["user"], "ts", "step", ["A", "B", "C"]).collect()}
+    assert out[1] == (3, t(2))
+    assert out[2][0] == 1  # B precedes A: no B after the A anchor -> stops
+    assert out[3] == (1, t(0))
+    assert 4 not in out
+    assert out[5] == (3, t(2))
