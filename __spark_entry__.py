@@ -1790,6 +1790,15 @@ def _text_dup_lines_corpus(spark, sf_dir):
     )
 
 
+def _text_readability(spark, sf_dir):
+    """Integer Flesch-Kincaid readability (operators/text.py:
+    with_readability): zero-shuffle scan projection, floor-division
+    quantization — engine-portable longs."""
+    from data2neo_spark.operators.text import with_readability
+
+    return with_readability(_read(spark, sf_dir, "documents"), "doc_id")
+
+
 def _text_trigram_lm(spark, sf_dir):
     """Stupid-backoff trigram LM scoring (operators/text.py:
     with_trigram_lm_scores): models train on the even-doc_id half, ALL
@@ -1880,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _web_url_dedup,
         "web_anchor_aliases": _web_anchor_aliases,
         "text_trigram_lm": _text_trigram_lm,
+        "text_readability": _text_readability,
         "graph_communities": _graph_communities,
         "graph_centrality": _graph_centrality,
         "kg_negative_samples": _kg_negative_samples,
@@ -4061,6 +4071,21 @@ FROM r GROUP BY 1
             "'<http://example.org/node/Region:' || CAST(n_regionkey AS VARCHAR) "
             "|| '> <http://example.org/prop/rkey> \"' || CAST(n_regionkey AS VARCHAR) "
             "|| '\"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM nation"
+        ),
+        "text_readability": (
+            "WITH base AS (SELECT doc_id, "
+            "  list_filter(string_split(text, ' '), w -> w <> '') AS ws, "
+            "  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences "
+            "  FROM documents), "
+            "m AS (SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences, "
+            "  CAST(greatest(1, len(ws)) AS BIGINT) AS n_words, "
+            "  CAST(list_sum(list_transform(ws, w -> greatest(1, "
+            "    len(regexp_extract_all(w, '[aeiouyAEIOUY]+'))))) AS BIGINT) "
+            "  AS n_syllables FROM base) "
+            "SELECT doc_id, n_sentences, n_words, n_syllables, "
+            "CAST((39 * n_words) // n_sentences "
+            "  + (1180 * n_syllables) // n_words - 1559 AS BIGINT) "
+            "AS fk_grade_x100 FROM m"
         ),
         "events_funnel": (
             "WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0), "

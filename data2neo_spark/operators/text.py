@@ -1016,3 +1016,47 @@ def with_trigram_lm_scores(
             "n_backoff_floor",
         )
     )
+
+
+def with_readability(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Flesch-Kincaid grade-level readability, integer-quantized:
+    ``fk_grade_x100 = (39·W) div S + (1180·Sy) div W − 1559`` (the
+    standard 0.39·W/S + 11.8·Sy/W − 15.59 scaled ×100 with floor
+    division — engine-portable longs, no float drift). Heuristics, all
+    Column-native: words = non-empty whitespace tokens (min 1);
+    sentences = runs of ``[.!?]`` (min 1); syllables = vowel-group runs
+    per word, min 1 per word (covers vowelless tokens).
+
+    Zero-shuffle scan projection; a quality gate alongside the
+    Gopher/C4 battery (very low grade ≈ fragmented boilerplate, very
+    high ≈ run-on garbage)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_words = F.greatest(F.lit(1), F.size(words)).cast("long")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))),
+    ).cast("long")
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouyAEIOUY]+"), F.lit(0))),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        syl.alias("n_syllables"),
+    )
+    return out.withColumn(
+        "fk_grade_x100",
+        F.expr("(39 * n_words) div n_sentences "
+               "+ (1180 * n_syllables) div n_words - 1559").cast("long"),
+    )

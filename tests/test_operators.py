@@ -2162,3 +2162,26 @@ def test_funnel(spark):
     assert out[3] == (1, t(0))
     assert 4 not in out
     assert out[5] == (3, t(2))
+
+
+def test_with_readability(spark):
+    from data2neo_spark.operators.text import with_readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (2, "xyz 123"),                     # vowelless -> 1 syl each
+            (3, ""),                            # degenerate: min clamps
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_readability(df, "doc_id").collect()}
+    r1 = out[1]
+    assert (r1.n_sentences, r1.n_words) == (2, 6)
+    # the/cat/sat/dog/ran = 1 syllable each; "The"x2 - all six are 1
+    assert r1.n_syllables == 6
+    assert r1.fk_grade_x100 == (39 * 6) // 2 + (1180 * 6) // 6 - 1559
+    r2 = out[2]
+    assert (r2.n_sentences, r2.n_words, r2.n_syllables) == (1, 2, 2)
+    r3 = out[3]
+    assert (r3.n_sentences, r3.n_words) == (1, 1)
