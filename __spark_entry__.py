@@ -1502,6 +1502,21 @@ def _events_funnel(spark, sf_dir):
     )
 
 
+def _events_retention(spark, sf_dir):
+    """Cohort retention (operators/temporal.py:retention): users
+    cohorted by first-event day, active periods in 7-day windows
+    anchored per user — integer day arithmetic, two keyed shuffles,
+    driver-sized output."""
+    from data2neo_spark.operators.temporal import retention
+
+    ev = _read(spark, sf_dir, "events")
+    return retention(ev, ["user_id"], "ts", period_days=7).select(
+        F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort_start"),
+        "period_offset",
+        "n_active",
+    )
+
+
 def _events_sessionize(spark, sf_dir):
     """Gap-based batch sessionization (operators/temporal.py:sessionize):
     per-user sessions split at >30 min inactivity, summarized per session.
@@ -1879,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 late additions — never driver-checked, so they lead
         "events_sessionize": _events_sessionize,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
         "kg_export_ntriples": _kg_export_ntriples,
         "graph_khop": _graph_khop,
         "sketch_hll": _sketch_hll,
@@ -4086,6 +4102,16 @@ FROM r GROUP BY 1
             "CAST((39 * n_words) // n_sentences "
             "  + (1180 * n_syllables) // n_words - 1559 AS BIGINT) "
             "AS fk_grade_x100 FROM m"
+        ),
+        "events_retention": (
+            "WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), "
+            "f AS (SELECT user_id, min(d) AS fd FROM ev GROUP BY 1), "
+            "act AS (SELECT DISTINCT ev.user_id, "
+            "  strftime(f.fd, '%Y-%m-%d') AS cohort_start, "
+            "  CAST(date_diff('day', f.fd, ev.d) // 7 AS BIGINT) AS period_offset "
+            "  FROM ev JOIN f ON f.user_id = ev.user_id) "
+            "SELECT cohort_start, period_offset, count(*) AS n_active "
+            "FROM act GROUP BY 1, 2"
         ),
         "events_funnel": (
             "WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0), "

@@ -365,3 +365,39 @@ def funnel(
         completed.alias("steps_completed"),
         deepest.alias("completed_at"),
     )
+
+
+def retention(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    event (cohort), counted in every later period they were active —
+    ``(cohort_start, period_offset, n_active)`` with offset 0 the
+    cohort period itself (so offset-0 count = cohort size). Periods are
+    fixed ``period_days`` windows anchored at each user's first-ever
+    event date truncated to day — calendar-drift-free and
+    engine-portable (integer day arithmetic, no week-of-year
+    semantics).
+
+    Scale shape: first-event aggregate (one keyed shuffle with map-side
+    min), joined back broadcast-or-keyed by Spark's own sizing, then a
+    distinct on (key, offset) and the final (cohort, offset) count —
+    every shuffle is on user or cohort keys with partial aggregation;
+    the (cohort, offset) result is period²-bounded, driver-sized.
+    """
+    ev = df.select(*key_cols, F.to_date(F.col(ts_col)).alias("_d"))
+    first = ev.groupBy(*key_cols).agg(F.min("_d").alias("_first"))
+    joined = ev.join(first, key_cols)
+    active = joined.select(
+        *key_cols,
+        F.col("_first").alias("cohort_start"),
+        F.expr(f"datediff(_d, _first) div {int(period_days)}")
+        .cast("long")
+        .alias("period_offset"),
+    ).distinct()
+    return active.groupBy("cohort_start", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

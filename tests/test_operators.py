@@ -2185,3 +2185,26 @@ def test_with_readability(spark):
     assert (r2.n_sentences, r2.n_words, r2.n_syllables) == (1, 2, 2)
     r3 = out[3]
     assert (r3.n_sentences, r3.n_words) == (1, 1)
+
+
+def test_retention(spark):
+    from data2neo_spark.operators.temporal import retention
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    ev = spark.createDataFrame(
+        [
+            # u1 first on day 1; active day 3 (offset 0), day 9 (offset 1),
+            # day 16 (offset 2)
+            (1, t(1)), (1, t(3)), (1, t(9)), (1, t(16)),
+            # u2 first on day 9 (different cohort); active day 10 only
+            (2, t(9)), (2, t(10)),
+        ],
+        "user long, ts timestamp",
+    )
+    out = {(r.cohort_start.isoformat(), r.period_offset): r.n_active
+           for r in retention(ev, ["user"], "ts", period_days=7).collect()}
+    assert out == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-09", 0): 1,
+    }
