@@ -1805,6 +1805,19 @@ def _text_dup_lines_corpus(spark, sf_dir):
     )
 
 
+def _text_mention_contexts(spark, sf_dir):
+    """KWIC mention contexts (operators/text.py:mention_contexts):
+    ±3-word windows around three dictionary terms, contexts sliced
+    in-row from the token array (no self-join), zero shuffles."""
+    from data2neo_spark.operators.text import mention_contexts
+
+    return mention_contexts(
+        _read(spark, sf_dir, "documents"),
+        ["spark", "join", "hash"],
+        window=3,
+    )
+
+
 def _text_readability(spark, sf_dir):
     """Integer Flesch-Kincaid readability (operators/text.py:
     with_readability): zero-shuffle scan projection, floor-division
@@ -1906,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_aliases": _web_anchor_aliases,
         "text_trigram_lm": _text_trigram_lm,
         "text_readability": _text_readability,
+        "text_mention_contexts": _text_mention_contexts,
         "graph_communities": _graph_communities,
         "graph_centrality": _graph_centrality,
         "kg_negative_samples": _kg_negative_samples,
@@ -4087,6 +4101,17 @@ FROM r GROUP BY 1
             "'<http://example.org/node/Region:' || CAST(n_regionkey AS VARCHAR) "
             "|| '> <http://example.org/prop/rkey> \"' || CAST(n_regionkey AS VARCHAR) "
             "|| '\"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM nation"
+        ),
+        "text_mention_contexts": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "x AS (SELECT doc_id, ws, unnest(ws) AS surface, "
+            "      unnest(range(len(ws))) AS pos FROM t) "
+            "SELECT doc_id, surface, CAST(pos AS BIGINT) AS pos, "
+            "coalesce(array_to_string(list_slice(ws, greatest(1, pos - 2), pos), ' '), '') "
+            "  AS left_ctx, "
+            "coalesce(array_to_string(list_slice(ws, pos + 2, pos + 4), ' '), '') "
+            "  AS right_ctx "
+            "FROM x WHERE surface IN ('spark', 'join', 'hash')"
         ),
         "text_readability": (
             "WITH base AS (SELECT doc_id, "

@@ -1060,3 +1060,45 @@ def with_readability(
         F.expr("(39 * n_words) div n_sentences "
                "+ (1180 * n_syllables) div n_words - 1559").cast("long"),
     )
+
+
+def mention_contexts(
+    df: DataFrame,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+) -> DataFrame:
+    """KWIC (keyword-in-context) extraction: one row per occurrence of
+    each dictionary term — ``(id, surface, pos, left_ctx, right_ctx)``
+    with ±``window`` words of context. The training-pair generator for
+    entity linkers/disambiguators (surface + local context → entity),
+    the per-occurrence counterpart of pipeline.webtext.detect_mentions
+    (which collapses to distinct doc–term pairs).
+
+    Column-native: ONE posexplode of the token array (the array rides
+    along, so contexts are in-row ``slice`` calls — no self-join back
+    to the document), term filter pushed into the explode output.
+    Zero shuffles; dictionary inlines as a literal set (broadcast-join
+    variant available via detect_mentions' strategy for huge
+    dictionaries).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("_ws")).select(
+        id_col, "_ws", F.posexplode("_ws").alias("pos", "surface")
+    )
+    hit = base.where(F.col("surface").isin(list(terms)))
+    left_start = F.greatest(F.lit(1), F.col("pos") + 1 - F.lit(window))
+    left_len = F.least(F.lit(window), F.col("pos"))
+    right_start = F.col("pos") + 2
+    return hit.select(
+        id_col,
+        "surface",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("_ws", left_start, left_len), " ").alias("left_ctx"),
+        F.array_join(
+            F.slice("_ws", right_start, F.lit(window)), " "
+        ).alias("right_ctx"),
+    )

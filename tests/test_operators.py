@@ -2208,3 +2208,18 @@ def test_retention(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-09", 0): 1,
     }
+
+
+def test_mention_contexts(spark):
+    from data2neo_spark.operators.text import mention_contexts
+
+    df = spark.createDataFrame(
+        [(1, "a b TARGET c d e TARGET")], "doc_id long, text string"
+    )
+    rows = {r.pos: (r.left_ctx, r.right_ctx)
+            for r in mention_contexts(df, ["TARGET"], window=3).collect()}
+    # boundary clamps: pos 2 has only 2 left words; pos 6 has no right
+    assert rows == {2: ("a b", "c d e"), 6: ("c d e", "")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mention_contexts(df, [])
