@@ -136,3 +136,82 @@ def test_pack_sequences_matches_python_cumsum(spark, toks, budget, k):
         assert rows[i]["seq_id"] == cum // budget
         assert rows[i]["offset_in_seq"] == cum % budget
         cum += n
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(
+    st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    st.text(alphabet=string.ascii_letters + "0123456789", min_size=1, max_size=8),
+    st.lists(st.text(alphabet=string.ascii_lowercase + "0123456789",
+                     min_size=1, max_size=5), min_size=0, max_size=3),
+    st.lists(st.tuples(
+        st.sampled_from(["a", "b", "utm_source", "fbclid", "z9"]),
+        st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=4),
+    ), min_size=0, max_size=4),
+), min_size=1, max_size=6))
+def test_canonical_url_idempotent(spark, parts):
+    """canonical_url is a projection: applying it to its own output is a
+    no-op (idempotence), for arbitrary scheme case, paths, and
+    tracking/real parameter mixes."""
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.web import canonical_url
+
+    urls = []
+    for scheme, host, path, params in parts:
+        u = f"{scheme}://{host}.example/" + "/".join(path)
+        if params:
+            u += "?" + "&".join(f"{k}={v}" for k, v in params)
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    twice = once.select(canonical_url(F.col("url")).alias("url"))
+    assert [r.url for r in once.collect()] == [r.url for r in twice.collect()]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+                min_size=1, max_size=30))
+def test_sessionize_partition_invariance(spark, events):
+    """Session assignment is a pure function of (key, ts) — identical
+    under any physical partitioning and input order."""
+    import datetime as dt
+    from data2neo_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(k, t0 + dt.timedelta(seconds=s), i)
+            for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+    a = {r.eid: r.session_seq
+         for r in sessionize(df, ["k"], "ts", 300, order_cols=["eid"]).collect()}
+    b = {r.eid: r.session_seq
+         for r in sessionize(df.repartition(7), ["k"], "ts", 300,
+                             order_cols=["eid"]).collect()}
+    assert a == b
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=40),
+       st.integers(2, 16))
+def test_hll_merge_law(spark, values, p_half):
+    """HLL registers of a union == max-merge of the parts' registers —
+    for arbitrary multisets and any split point."""
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([(str(v),) for v in values], "v string")
+    half = len(values) // 2
+    a = spark.createDataFrame([(str(v),) for v in values[:half]] or [("_",)],
+                              "v string")
+    b = spark.createDataFrame([(str(v),) for v in values[half:]] or [("_",)],
+                              "v string")
+    whole = {(r.register, r.rho)
+             for r in hll_registers(df.unionAll(
+                 spark.createDataFrame([("_",)], "v string")), "v", p=6).collect()}
+    merged = (
+        hll_registers(a, "v", p=6)
+        .unionAll(hll_registers(b, "v", p=6))
+        .unionAll(hll_registers(
+            spark.createDataFrame([("_",)], "v string"), "v", p=6))
+        .groupBy("register").agg(F.max("rho").alias("rho"))
+    )
+    assert {(r.register, r.rho) for r in merged.collect()} == whole
