@@ -1631,6 +1631,24 @@ def _graph_triangles(spark, sf_dir):
     ).withColumn("node", F.col("node").cast("long"))
 
 
+def _graph_link_prediction(spark, sf_dir):
+    """Neighbor-Jaccard link prediction (operators/graph.py:
+    link_prediction_jaccard) over the co-occurrence parts graph:
+    candidates form at shared pivots (capped sorted prefix — never
+    all-pairs), existing edges anti-joined out, integer Jaccard,
+    global top-50 via TakeOrderedAndProject."""
+    from data2neo_spark.operators.graph import (
+        cooccurrence_edges, link_prediction_jaccard,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=8)
+    return link_prediction_jaccard(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_pivot_degree=64, top_k=50,
+    )
+
+
 def _kg_validate_shapes(spark, sf_dir):
     """SHACL-lite shape validation (operators/validate.py) over a
     three-predicate KG: CONTAINS deliberately declared Customer→Part
@@ -1924,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_centrality": _graph_centrality,
         "kg_negative_samples": _kg_negative_samples,
         "graph_sample_neighbors": _graph_sample_neighbors,
+        "graph_link_prediction": _graph_link_prediction,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_fuse": _kg_fuse,
@@ -3265,6 +3284,37 @@ def oracle_sql() -> dict[str, str]:
                e.n_registers, e.est_distinct
         FROM stats s LEFT JOIN est e ON e.col = s.col
     """
+    graph_link_prediction = """
+        WITH gi AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+            FROM lineitem WHERE l_orderkey % 10 = 0
+        ), cappedg AS (
+            SELECT g, item FROM gi
+            QUALIFY row_number() OVER (PARTITION BY g ORDER BY item) <= 8
+        ), e AS (
+            SELECT DISTINCT x.item AS a, y.item AS b
+            FROM cappedg x JOIN cappedg y ON x.g = y.g AND x.item < y.item
+        ), nb AS (
+            SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e
+        ), deg AS (
+            SELECT u, count(*) AS deg FROM nb GROUP BY u
+        ), cap AS (
+            SELECT v, u FROM nb
+            QUALIFY row_number() OVER (PARTITION BY v ORDER BY u) <= 64
+        ), common AS (
+            SELECT x.u AS a, y.u AS b, count(*) AS common
+            FROM cap x JOIN cap y ON x.v = y.v AND x.u < y.u
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT c.* FROM common c
+            LEFT JOIN e ON e.a = c.a AND e.b = c.b WHERE e.a IS NULL
+        )
+        SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+               (c.common * 1000000) // (da.deg + db.deg - c.common)
+                   AS jaccard_x1000000
+        FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+        ORDER BY jaccard_x1000000 DESC, c.a, c.b LIMIT 50
+    """
     lpa_round = """
         , v{i} AS (
             SELECT nb.node, l.label, count(*) AS c
@@ -3397,6 +3447,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot_asof": kg_snapshot_asof,
         "graph_triangles": graph_triangles,
         "graph_communities": graph_communities,
+        "graph_link_prediction": graph_link_prediction,
         "corpus_profile": corpus_profile,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,

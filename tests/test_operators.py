@@ -2223,3 +2223,27 @@ def test_mention_contexts(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mention_contexts(df, [])
+
+
+def test_link_prediction_jaccard(spark):
+    from data2neo_spark.operators.graph import link_prediction_jaccard
+
+    # square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    # non-adjacent pairs, each sharing BOTH their neighbors
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard_x1000000)
+           for r in link_prediction_jaccard(edges).collect()}
+    # c=2, d=2 each -> jaccard = 2/(2+2-2) = 1.0
+    assert out == {(1, 3): (2, 2, 2, 1_000_000),
+                   (2, 4): (2, 2, 2, 1_000_000)}
+
+    # existing edges never predicted; star graph: leaves share the hub
+    star = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3)], "src long, dst long"
+    )
+    got = {(r.a, r.b): r.jaccard_x1000000
+           for r in link_prediction_jaccard(star).collect()}
+    # leaf pairs: c=1, deg 1+1-1 -> 1.0; hub pairs excluded (adjacent)
+    assert got == {(1, 2): 1_000_000, (1, 3): 1_000_000, (2, 3): 1_000_000}
