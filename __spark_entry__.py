@@ -878,6 +878,54 @@ def _corpus_profile(spark, sf_dir):
     return profile_table(_read(spark, sf_dir, "events"))
 
 
+def _streaming_hll(spark, sf_dir):
+    """STATEFUL streaming sketch gate: the same HLL register
+    aggregation as sketch_hll run as a Structured Streaming job —
+    4-file source at maxFilesPerTrigger=1, so register state genuinely
+    accumulates across micro-batches (complete mode, foreachBatch
+    overwrite sink = final state); estimates computed from the sink
+    must value-hash-match the BATCH oracle. Streaming state size is
+    the constant groups×2^p registers whatever the stream length."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data2neo_spark.operators.sketch import (
+        hll_estimate_from_registers, hll_registers,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("cust")
+    )
+    base = tempfile.mkdtemp(prefix="d2s_stream_hll_")
+    atexit.register(shutil.rmtree, base, True)
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ck = os.path.join(base, "ck")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_registers(stream, "cust", ["o_orderpriority"], p=8)
+
+    def _overwrite(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    q = (
+        regs.writeStream.foreachBatch(_overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_estimate_from_registers(
+        spark.read.parquet(sink), ["o_orderpriority"], p=8
+    )
+
+
 def _sketch_hll(spark, sf_dir):
     """Deterministic HyperLogLog distinct-count (operators/sketch.py):
     customers per order priority at p=8 (256 registers/group — constant
@@ -1929,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_ntriples": _kg_export_ntriples,
         "graph_khop": _graph_khop,
         "sketch_hll": _sketch_hll,
+        "streaming_hll": _streaming_hll,
         "sketch_countmin": _sketch_countmin,
         "corpus_sample_weighted": _corpus_sample_weighted,
         "corpus_profile": _corpus_profile,
@@ -4025,6 +4074,25 @@ FROM r GROUP BY 1
             # exact replay of operators/sketch.py HLL math: 60-bit md5
             # hash, top-8 bits register, rho via length(bin(tail)),
             # alpha_m*m^2 inlined at full double precision
+            "WITH h AS (SELECT o_orderpriority AS grp, "
+            "  CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) AS hv "
+            "  FROM orders WHERE o_custkey IS NOT NULL), "
+            "r AS (SELECT grp, hv >> 52 AS register, "
+            "  CASE WHEN hv % 4503599627370496 = 0 THEN 53 "
+            "       ELSE 53 - length(bin(hv % 4503599627370496)) END AS rho FROM h), "
+            "regs AS (SELECT grp, register, max(rho) AS rho FROM r GROUP BY 1, 2), "
+            "agg AS (SELECT grp, count(*) AS n_registers, "
+            "        sum(power(2.0, -rho)) AS s_hit FROM regs GROUP BY 1) "
+            "SELECT grp AS o_orderpriority, n_registers, "
+            "round(CASE WHEN 47072.71267120224 / (s_hit + (256 - n_registers)) <= 640.0 "
+            "             AND (256 - n_registers) > 0 "
+            "      THEN 256.0 * ln(256.0 / (256 - n_registers)) "
+            "      ELSE 47072.71267120224 / (s_hit + (256 - n_registers)) END, 2) "
+            "AS est_distinct FROM agg"
+        ),
+        "streaming_hll": (
+            # identical to the sketch_hll batch replay — the streaming
+            # job must converge to the same registers
             "WITH h AS (SELECT o_orderpriority AS grp, "
             "  CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) AS hv "
             "  FROM orders WHERE o_custkey IS NOT NULL), "

@@ -87,20 +87,17 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame,
-    value_col: str,
+def hll_estimate_from_registers(
+    regs: DataFrame,
     group_cols: Optional[List[str]] = None,
     p: int = 8,
 ) -> DataFrame:
-    """Per-group approximate distinct count from the register table:
-    ``(groups…, n_registers, est_distinct)`` (est rounded to 2 dp;
-    typical error ~1.04/sqrt(2^p) ≈ 6.5% at p=8). Two shuffles total:
-    the register groupBy and the per-group register rollup — both
-    constant-size after the first."""
+    """Estimate phase over an existing ``(groups…, register, rho)``
+    table (from :func:`hll_registers`, a merged union of them, or a
+    streaming sink of the stateful register aggregation) — the shared
+    second half of :func:`hll_distinct`."""
     groups = group_cols or []
     m = 2**p
-    regs = hll_registers(df, value_col, groups, p)
     agg = regs.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s_hit"),
@@ -115,6 +112,22 @@ def hll_distinct(
         *groups,
         "n_registers",
         F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Optional[List[str]] = None,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group approximate distinct count from the register table:
+    ``(groups…, n_registers, est_distinct)`` (est rounded to 2 dp;
+    typical error ~1.04/sqrt(2^p) ≈ 6.5% at p=8). Two shuffles total:
+    the register groupBy and the per-group register rollup — both
+    constant-size after the first."""
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
     )
 
 

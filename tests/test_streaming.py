@@ -268,3 +268,41 @@ def test_stream_incremental_dedup_boundary_invariant(spark, tmp_path):
              for r in spark.read.parquet(store + "/pairs").collect()}
     assert again == want
     assert spark.read.parquet(store + "/bands").count() == n_bands
+
+
+def test_streaming_hll_state_accumulates(spark, tmp_path):
+    """HLL registers as a STATEFUL streaming aggregation: with one file
+    per micro-batch the final (complete-mode) state must equal the
+    batch sketch over all data — registers are a commutative monoid, so
+    incremental accumulation converges exactly."""
+    from pyspark.sql import functions as F
+    from data2neo_spark.operators.sketch import hll_registers
+
+    df = spark.range(2_000).select(F.col("id").cast("string").alias("v"))
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+
+    def _overwrite(batch_df, batch_id):
+        batches.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    q = (
+        hll_registers(stream, "v", p=6)
+        .writeStream.foreachBatch(_overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 3  # state really accumulated across batches
+    got = {(r.register, r.rho) for r in spark.read.parquet(sink).collect()}
+    want = {(r.register, r.rho) for r in hll_registers(df, "v", p=6).collect()}
+    assert got == want
