@@ -213,12 +213,15 @@ def canonical_url(url: Column) -> Column:
     # trim ONE trailing slash from non-root paths
     path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~F.lower(p).startswith("utm_")
-        & ~F.split(F.lower(p), "=")[0].isin(*[F.lit(t) for t in TRACKING_PARAMS]),
-    )
+    def _keep(p):
+        cond = p != ""
+        for pre in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~F.lower(p).startswith(pre)
+        return cond & ~F.split(F.lower(p), "=")[0].isin(
+            *[F.lit(t) for t in TRACKING_PARAMS]
+        )
+
+    params = F.filter(F.split(query, "&"), _keep)
     q2 = F.array_join(F.array_sort(params), "&")
     return F.concat(
         scheme,
