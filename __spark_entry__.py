@@ -1697,6 +1697,23 @@ def _graph_link_prediction(spark, sf_dir):
     )
 
 
+def _graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.py:
+    link_prediction_adamic_adar): pivot weight = 1e6 div ilog2(deg),
+    exact via length(bin()) — same capped shared-pivot candidates as
+    the Jaccard variant, rarer neighbors weigh more."""
+    from data2neo_spark.operators.graph import (
+        cooccurrence_edges, link_prediction_adamic_adar,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=8)
+    return link_prediction_adamic_adar(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_pivot_degree=64, top_k=50,
+    )
+
+
 def _kg_validate_shapes(spark, sf_dir):
     """SHACL-lite shape validation (operators/validate.py) over a
     three-predicate KG: CONTAINS deliberately declared Customer→Part
@@ -1992,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _kg_negative_samples,
         "graph_sample_neighbors": _graph_sample_neighbors,
         "graph_link_prediction": _graph_link_prediction,
+        "graph_adamic_adar": _graph_adamic_adar,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_fuse": _kg_fuse,
@@ -3333,6 +3351,38 @@ def oracle_sql() -> dict[str, str]:
                e.n_registers, e.est_distinct
         FROM stats s LEFT JOIN est e ON e.col = s.col
     """
+    graph_adamic_adar = """
+        WITH gi AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+            FROM lineitem WHERE l_orderkey % 10 = 0
+        ), cappedg AS (
+            SELECT g, item FROM gi
+            QUALIFY row_number() OVER (PARTITION BY g ORDER BY item) <= 8
+        ), e AS (
+            SELECT DISTINCT x.item AS a, y.item AS b
+            FROM cappedg x JOIN cappedg y ON x.g = y.g AND x.item < y.item
+        ), nb AS (
+            SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e
+        ), deg AS (
+            SELECT v, count(*) AS deg FROM nb GROUP BY v
+        ), pw AS (
+            SELECT v, 1000000 // greatest(1, length(bin(deg)) - 1) AS w
+            FROM deg
+        ), cap AS (
+            SELECT nb.v, nb.u FROM nb
+            QUALIFY row_number() OVER (PARTITION BY v ORDER BY u) <= 64
+        ), capw AS (
+            SELECT cap.v, cap.u, pw.w FROM cap JOIN pw ON pw.v = cap.v
+        ), scored AS (
+            SELECT x.u AS a, y.u AS b, count(*) AS common,
+                   CAST(sum(x.w) AS BIGINT) AS aa_x1000000
+            FROM capw x JOIN capw y ON x.v = y.v AND x.u < y.u
+            GROUP BY 1, 2
+        )
+        SELECT s.a, s.b, s.common, s.aa_x1000000 FROM scored s
+        LEFT JOIN e ON e.a = s.a AND e.b = s.b WHERE e.a IS NULL
+        ORDER BY s.aa_x1000000 DESC, s.a, s.b LIMIT 50
+    """
     graph_link_prediction = """
         WITH gi AS (
             SELECT DISTINCT l_orderkey AS g, l_partkey AS item
@@ -3497,6 +3547,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": graph_triangles,
         "graph_communities": graph_communities,
         "graph_link_prediction": graph_link_prediction,
+        "graph_adamic_adar": graph_adamic_adar,
         "corpus_profile": corpus_profile,
         "sim_pq": sim_pq,
         "sim_ivfpq": sim_ivfpq,

@@ -758,3 +758,65 @@ def link_prediction_jaccard(
     ).limit(top_k).select(
         "a", "b", "common", "deg_a", "deg_b", f"jaccard_x{int(scale)}"
     )
+
+
+def link_prediction_adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: int = 64,
+    top_k: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Adamic–Adar link prediction, integer-quantized: each shared
+    pivot ``v`` contributes ``scale div ilog2(deg_v)`` (ilog2 exact via
+    ``length(bin(x)) − 1`` — the engine's float-free log idiom, see
+    train_bigram_lm) with degree-1 pivots clamped to ilog2 = 1, so the
+    score stays an engine-portable long. Rarer shared neighbors weigh
+    more than in plain common-neighbor counting — the standard
+    refinement over Jaccard for hub-heavy graphs. Same candidate
+    machinery and caps as :func:`link_prediction_jaccard`; returns the
+    top_k non-adjacent pairs ``(a, b, common, aa_x{scale})`` ordered by
+    (score desc, a, b).
+    """
+    from pyspark.sql import Window
+
+    nb = (
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
+        .unionAll(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
+        .distinct()
+    )
+    deg = nb.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    # pivot weight: scale div max(1, ilog2(deg)) — exact integer
+    pw = deg.select(
+        "v",
+        F.expr(
+            f"{int(scale)}L div greatest(1L, length(bin(deg)) - 1)"
+        ).alias("w"),
+    )
+    wnd = Window.partitionBy("v").orderBy("u")
+    capped = (
+        nb.withColumn("_rk", F.row_number().over(wnd))
+        .where(F.col("_rk") <= max_pivot_degree)
+        .drop("_rk")
+        .join(pw, "v")
+    )
+    a = capped.select("v", "w", F.col("u").alias("a"))
+    b = capped.select("v", F.col("u").alias("b"))
+    scored = (
+        a.join(b, "v")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("w").alias(f"aa_x{int(scale)}"),
+        )
+    )
+    existing = nb.select(
+        F.least("v", "u").alias("a"), F.greatest("v", "u").alias("b")
+    ).distinct()
+    return (
+        scored.join(existing, ["a", "b"], "left_anti")
+        .orderBy(F.desc(f"aa_x{int(scale)}"), "a", "b")
+        .limit(top_k)
+    )

@@ -2247,3 +2247,21 @@ def test_link_prediction_jaccard(spark):
            for r in link_prediction_jaccard(star).collect()}
     # leaf pairs: c=1, deg 1+1-1 -> 1.0; hub pairs excluded (adjacent)
     assert got == {(1, 2): 1_000_000, (1, 3): 1_000_000, (2, 3): 1_000_000}
+
+
+def test_link_prediction_adamic_adar(spark):
+    from data2neo_spark.operators.graph import link_prediction_adamic_adar
+
+    # two wedges into (1,3): shared pivots 2 (deg 2 -> ilog2 1 -> 1e6)
+    # and 4 (deg 4 -> ilog2 2 -> 500000); pivot 4 also links 5 and 6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 3), (4, 5), (4, 6)],
+        "src long, dst long",
+    )
+    out = {(r.a, r.b): (r.common, r.aa_x1000000)
+           for r in link_prediction_adamic_adar(edges).collect()}
+    # (1,3): 1e6 (via 2) + 5e5 (via 4) = 1.5e6; pairs via pivot 4 only
+    # (e.g. 1-5, 3-5, 5-6) get 5e5
+    assert out[(1, 3)] == (2, 1_500_000)
+    assert out[(5, 6)] == (1, 500_000)
+    assert (1, 2) not in out  # adjacent pairs excluded
