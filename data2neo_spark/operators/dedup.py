@@ -72,15 +72,123 @@ def _shingle_expr(words: Column, n: int) -> Column:
     )
 
 
+def _md5_60_py(b: bytes) -> int:
+    """Leading 60 bits of md5 — python twin of :func:`md5_hash60`
+    (``digest()[:8]`` big-endian is the first 16 hex chars; ``>> 4``
+    drops the 16th, leaving exactly ``hexdigest()[:15]``)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(b).digest()[:8], "big") >> 4
+
+
 def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, sh_arr) — each document's distinct shingle set as ONE array row
     (zero-shuffle; the verification joins replicate arrays per candidate
-    pair instead of shuffling shingle-level rows)."""
-    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
-    words = F.col("_words")
-    return bound.where(F.size(words) >= n).select(
-        F.col(id_col), F.array_distinct(_shingle_expr(words, n)).alias("sh_arr")
-    )
+    pair instead of shuffling shingle-level rows). Arrow fast path — see
+    operators/text.shingle_arrays_arrow."""
+    from .text import shingle_arrays_arrow
+
+    return shingle_arrays_arrow(df, id_col, text_col, n)
+
+
+def _sig_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: Optional[int] = None,
+    bands: Optional[int] = None,
+    with_shingles: bool = False,
+    with_sig: bool = False,
+) -> DataFrame:
+    """ONE Arrow pass over the corpus producing any combination of
+    ``sh_arr`` (distinct shingle array), ``sig`` (MinHash signature) and
+    ``_buckets`` (per-band bucket hashes) per document.
+
+    This replaces the interpreted higher-order-function pipeline (one
+    ``transform`` per affine hash — no whole-stage codegen, an array
+    allocation per lambda) with vectorized numpy over md5 base hashes
+    (guide §4.2); values are bit-identical: md5 → leading 60 bits → mod
+    P30, then ``min((aᵢ·h + bᵢ) mod P31)`` in int64 (no overflow:
+    a·h < 2^60), band bucket = md5 of the comma-joined signature slice.
+    Heavy per-row work also gets the deterministic parallelism guard
+    (text.spread_partitions) — a no-op at real scale."""
+    import numpy as np  # noqa: F401 — driver-side presence check
+
+    from .text import _ID_PD_DTYPE, _shingle_rows, spread_partitions
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_dtype = _ID_PD_DTYPE.get(id_type, "object")
+    if num_hashes:
+        coeff = [affine_coeffs(i) for i in range(num_hashes)]
+        rpb = (num_hashes // bands) if bands else 0
+    fields = [f"{id_col} {id_type}"]
+    if with_shingles:
+        fields.append("sh_arr array<string>")
+    if with_sig:
+        fields.append("sig array<bigint>")
+    if bands:
+        fields.append("_buckets array<bigint>")
+    schema = ", ".join(fields)
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        md5 = hashlib.md5
+        if num_hashes:
+            A = _np.array([c[0] for c in coeff], dtype=_np.int64)[:, None]
+            B = _np.array([c[1] for c in coeff], dtype=_np.int64)[:, None]
+        for pdf in batches:
+            ids, shs, sigs, buckets = [], [], [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if text is None:
+                    continue
+                sh = _shingle_rows(text, shingle_n)
+                if sh is None:
+                    continue
+                ids.append(did)
+                if with_shingles:
+                    shs.append(sh)
+                if num_hashes:
+                    base = _np.fromiter(
+                        (
+                            (int.from_bytes(
+                                md5(s.encode("utf-8")).digest()[:8], "big"
+                            ) >> 4) % P30
+                            for s in sh
+                        ),
+                        dtype=_np.int64,
+                        count=len(sh),
+                    )
+                    mins = ((A * base + B) % P31).min(axis=1).tolist()
+                    if with_sig:
+                        sigs.append(mins)
+                    if bands:
+                        buckets.append([
+                            int.from_bytes(
+                                md5(
+                                    ",".join(
+                                        map(str, mins[b * rpb:(b + 1) * rpb])
+                                    ).encode("utf-8")
+                                ).digest()[:8],
+                                "big",
+                            ) >> 4
+                            for b in range(bands)
+                        ])
+            data = {id_col: _pd.Series(ids, dtype=id_dtype)}
+            if with_shingles:
+                data["sh_arr"] = _pd.Series(shs, dtype="object")
+            if with_sig:
+                data["sig"] = _pd.Series(sigs, dtype="object")
+            if bands:
+                data["_buckets"] = _pd.Series(buckets, dtype="object")
+            yield _pd.DataFrame(data)
+
+    src = spread_partitions(df.select(id_col, text_col), id_col)
+    return src.mapInPandas(fn, schema)
 
 
 def contamination_check(
@@ -181,6 +289,7 @@ def _verified_jaccard(
     text_col: str,
     n: int,
     threshold: float,
+    arrays: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs: (id_a, id_b, jaccard ≥ threshold).
 
@@ -190,8 +299,17 @@ def _verified_jaccard(
     no shingle-level self-join, no corpus-wide shuffle, one corpus scan.
     A hot shingle shared by k docs therefore never materializes k² rows
     here; the candidate stage is the only place pair blowup can occur, and
-    it is capped/bucketed by construction."""
-    arrays = _shingle_arrays(df, id_col, text_col, n)
+    it is capped/bucketed by construction.
+
+    ``arrays``: a prebuilt (id, sh_arr) frame (e.g. the shared
+    :func:`_sig_frame` output) so callers that already shingled for the
+    candidate stage don't pay the pass twice. The frame is persisted —
+    it is probed by BOTH sides of the pair join, and (unlike an
+    exchange-terminated subtree) a mapInPandas plan gets no ReuseExchange
+    dedup, so each side would re-run the python pass."""
+    if arrays is None:
+        arrays = _shingle_arrays(df, id_col, text_col, n)
+    arrays = arrays.persist()
     pairs = cand.select("id_a", "id_b")
     # broadcast ONLY the bare pair list (small by construction — capped/
     # bucketed candidate stage), never the intermediate that already
@@ -332,24 +450,14 @@ def minhash_signatures(
     """(id, sig array<long>) MinHash signatures over word shingles.
 
     ZERO-shuffle: a document's shingles live in its own row, so the
-    signature is array math — one md5 per shingle (bound to a column, no
-    lambda re-evaluation), then ``num_hashes`` affine array_min folds
-    (a_i·h + b_i mod 2^31-1). The previous formulation exploded shingles and
-    paid a 64-agg groupBy shuffle for something per-row computable. The
+    signature is per-row array math — computed in ONE vectorized Arrow
+    pass (:func:`_sig_frame`; the old per-hash higher-order ``transform``
+    lambdas ran interpreted, no whole-stage codegen — guide §4.2). The
     family is SQL-reproducible — the DuckDB oracle replays identical
     signatures."""
-    arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
-    bound = arrays.withColumn(
-        "_base",
-        F.transform(F.col("sh_arr"), lambda s: md5_hash60(s) % P30),
-    )
-    def _affine_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
-        )
-
-    elems = [_affine_min(*affine_coeffs(i)) for i in range(num_hashes)]
-    return bound.select(F.col(id_col), F.array(*elems).alias("sig"))
+    return _sig_frame(
+        df, id_col, text_col, shingle_n, num_hashes=num_hashes, with_sig=True
+    ).select(F.col(id_col), F.col("sig"))
 
 
 def _pairs_expr(ids_col: str) -> Column:
@@ -429,6 +537,18 @@ def minhash_lsh_candidates(
     listed)."""
     assert num_hashes % bands == 0
     banded = _banded_frame(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return _candidates_from_banded(banded, id_col, max_bucket_size, observation)
+
+
+def _candidates_from_banded(
+    banded: DataFrame,
+    id_col: str,
+    max_bucket_size: Optional[int],
+    observation: Optional[Observation],
+) -> DataFrame:
+    """Shared candidate stage over a (id, band, bucket) frame: ONE
+    groupBy(band, bucket) with array-side pair emission, then the
+    per-pair shared-band count."""
     grp = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
@@ -468,10 +588,21 @@ def minhash_lsh_duplicates(
     with degenerate boilerplate buckets should pass an explicit cap (and
     ideally exact-dedup first) — the clipping is then observable via
     :func:`minhash_lsh_candidates`' ``observation`` hook."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                  shingle_n, max_bucket_size)
+    assert num_hashes % bands == 0
+    # ONE Arrow pass computes both the band buckets (candidate stage) and
+    # the shingle arrays (verification stage); persisted because the two
+    # stages and both pair-join sides probe it
+    sig = _sig_frame(
+        df, id_col, text_col, shingle_n,
+        num_hashes=num_hashes, bands=bands, with_shingles=True,
+    ).persist()
+    banded = sig.select(
+        F.col(id_col), F.posexplode("_buckets").alias("band", "bucket")
+    )
+    cand = _candidates_from_banded(banded, id_col, max_bucket_size, None)
     return _verified_jaccard(df, cand.select("id_a", "id_b"), id_col,
-                             text_col, shingle_n, threshold)
+                             text_col, shingle_n, threshold,
+                             arrays=sig.select(F.col(id_col), "sh_arr"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
@@ -483,8 +614,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) 
     ~2× slower than the codegen'd hash aggregate despite its shuffle. Token
     hash = md5_hash60, so the signature is bit-identical in the DuckDB
     oracle; 60 bits keep the value non-negative in a signed long (no
-    sign-bit special case)."""
-    tok = df.select(
+    sign-bit special case). The token source gets the deterministic
+    parallelism guard (text.spread_partitions) so the md5 + 60-sum map
+    side is not serialized onto a single-row-group scan's 1-2 splits."""
+    from .text import spread_partitions
+
+    src = spread_partitions(df.select(id_col, text_col), id_col)
+    tok = src.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).withColumn("h", md5_hash60(F.col("word")))
@@ -569,8 +705,22 @@ def hamming_near_duplicates(
     ``hamming ≤ max_hamming`` filter below, star edges may drop true
     clusters' internal edges — hence the opt-in default. Pass
     ``observation`` to surface ``clipped_buckets`` / ``max_bucket`` with
-    the job (no-silent-caps)."""
+    the job (no-silent-caps).
+
+    Candidate emission (r6): the uncapped/unobserved path is a codegen'd
+    equi self-join per chunk bucket over the PERSISTED signature frame
+    (one row per doc — the lightweight proxy, guide §8) instead of
+    interpreted per-bucket struct lambdas: a hot 15-bit bucket of k docs
+    emits its k² candidates through whole-stage codegen rather than one
+    O(k²)-struct array allocation. The Hamming filter runs BEFORE the
+    dedup-across-chunks distinct — ``sa``/``sb`` are functions of the id
+    pair, so filter-then-distinct is row-identical to
+    distinct-then-filter, and the distinct now shuffles only surviving
+    pairs (28M candidate rows → the output's size, measured on the
+    bench graph). The capped/observed path keeps the grouped-pairs
+    emission (the cap and the metrics need the bucket arrays)."""
     n_chunks = max_hamming + 1
+    sig = sig.persist()  # probed once per join side / grouping — tiny
     chunks = sig.select(
         F.col(id_col),
         hash_col,
@@ -583,9 +733,28 @@ def hamming_near_duplicates(
             ])
         ).alias("chunk_idx", "chunk"),
     )
-    # grouped-pairs per chunk bucket (one shuffle; the old a⋈b self-join
-    # recomputed the whole zero-shuffle signature per join side); buckets
-    # above max_bucket_size fall back to star pairs (linear row width).
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    if max_bucket_size is None and observation is None:
+        a = chunks.select(
+            "chunk_idx", "chunk",
+            F.col(id_col).alias("id_a"), F.col(hash_col).alias("sa"),
+        )
+        b = chunks.select(
+            "chunk_idx", "chunk",
+            F.col(id_col).alias("id_b"), F.col(hash_col).alias("sb"),
+        )
+        pairs = (
+            a.join(b, ["chunk_idx", "chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+        )
+        return (
+            pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .distinct()
+        )
+    # grouped-pairs per chunk bucket; buckets above max_bucket_size fall
+    # back to star pairs (linear row width).
     grp = (
         chunks.groupBy("chunk_idx", "chunk")
         .agg(
@@ -636,13 +805,15 @@ def hamming_near_duplicates(
     pairs = (
         grp.select(F.explode(pair_structs).alias("_p"))
         .select("_p.id_a", "_p.id_b", "_p.sa", "_p.sb")
-        .distinct()
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    # filter before the cross-chunk distinct (sa/sb are functions of the
+    # pair, so the surviving row set is identical) — the distinct then
+    # shuffles only pairs that pass the Hamming gate
     return (
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -854,34 +1025,11 @@ def _banded_frame(
     shingle_n: int,
 ) -> DataFrame:
     """(id, band, bucket) — per-row MinHash band buckets (shared by the
-    self- and cross-frame candidate generators)."""
-    rows_per_band = num_hashes // bands
-    arrays = _shingle_arrays(df, id_col, text_col, shingle_n)
-    bound = arrays.withColumn(
-        "_base",
-        F.transform(F.col("sh_arr"), lambda s: md5_hash60(s) % P30),
-    )
-
-    def _affine_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % P31)
-        )
-
-    elems = [_affine_min(*affine_coeffs(i)) for i in range(num_hashes)]
-    band_hashes = [
-        md5_hash60(
-            F.concat_ws(
-                ",",
-                *[e.cast("string")
-                  for e in elems[b * rows_per_band:(b + 1) * rows_per_band]],
-            )
-        )
-        for b in range(bands)
-    ]
-    return bound.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
-    )
+    self- and cross-frame candidate generators). One vectorized Arrow
+    pass (:func:`_sig_frame`) + a JVM posexplode."""
+    return _sig_frame(
+        df, id_col, text_col, shingle_n, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col), F.posexplode("_buckets").alias("band", "bucket"))
 
 
 def band_signatures(
@@ -947,6 +1095,20 @@ def minhash_lsh_candidates_between(
     else:
         corpus_banded = _banded_frame(corpus, id_col, text_col,
                                       num_hashes, bands, shingle_n)
+    return _candidates_between_banded(
+        new_banded, corpus_banded, id_col, max_bucket_size
+    )
+
+
+def _candidates_between_banded(
+    new_banded: DataFrame,
+    corpus_banded: DataFrame,
+    id_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Shared cross-frame candidate stage over two (id, band, bucket)
+    frames: corpus buckets group to capped sorted id arrays, ONE
+    (band, bucket) equi join, explode, per-pair shared-band count."""
     grouped = corpus_banded.groupBy("band", "bucket").agg(
         F.slice(
             F.array_sort(F.collect_list(F.col(id_col))), 1, max_bucket_size
@@ -978,11 +1140,35 @@ def incremental_near_duplicates(
     (a stored :func:`band_signatures` frame) to skip the corpus-side
     signature pipeline — verification still reads corpus TEXT, but only
     for the candidate pairs."""
-    cand = minhash_lsh_candidates_between(
-        new_docs, corpus, id_col, text_col, num_hashes, bands, shingle_n,
-        max_bucket_size, corpus_bands=corpus_bands,
+    # the new batch's Arrow pass produces band buckets AND shingle arrays
+    # at once (candidate + verification stages share it — persisted)
+    new_sig = _sig_frame(
+        new_docs, id_col, text_col, shingle_n,
+        num_hashes=num_hashes, bands=bands, with_shingles=True,
+    ).persist()
+    new_banded = new_sig.select(
+        F.col(id_col), F.posexplode("_buckets").alias("band", "bucket")
+    )
+    if corpus_bands is not None:
+        corpus_banded = corpus_bands.select(
+            F.col(id_col), F.col("band"), F.col("bucket")
+        )
+        corpus_arrays = _shingle_arrays(corpus, id_col, text_col, shingle_n)
+    else:
+        corpus_sig = _sig_frame(
+            corpus, id_col, text_col, shingle_n,
+            num_hashes=num_hashes, bands=bands, with_shingles=True,
+        ).persist()
+        corpus_banded = corpus_sig.select(
+            F.col(id_col), F.posexplode("_buckets").alias("band", "bucket")
+        )
+        corpus_arrays = corpus_sig.select(F.col(id_col), "sh_arr")
+    cand = _candidates_between_banded(
+        new_banded, corpus_banded, id_col, max_bucket_size
     ).select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
     both = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
-    return _verified_jaccard(both, cand, id_col, text_col, shingle_n, threshold)
+    arrays = new_sig.select(F.col(id_col), "sh_arr").unionByName(corpus_arrays)
+    return _verified_jaccard(both, cand, id_col, text_col, shingle_n,
+                             threshold, arrays=arrays)

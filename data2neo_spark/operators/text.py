@@ -28,6 +28,84 @@ def _occurrences(text: Column, token: str) -> Column:
     return F.size(F.split(padded, f" {token} ")) - F.lit(1)
 
 
+def spread_partitions(df: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic scale-gated parallelism guard for CPU-heavy per-row
+    pipelines (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read").
+
+    A synthetic single-row-group parquet file yields 1-2 scan splits, so
+    everything up to the first exchange runs on 1-2 cores no matter how
+    many the session has. When the current partition count is below the
+    session's default parallelism, hash-repartition on ``key_col`` —
+    deterministic (never round-robin/rand, guide §2.5 SPARK-38388 note)
+    and therefore retry-safe. At real scale the scan already has more
+    splits than cores and this is a NO-OP (no extra exchange), so the
+    guard cannot regress a 100 TB run."""
+    try:
+        spark = df.sparkSession
+        n = spark.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= n:
+        return df
+    return df.repartition(n, F.col(key_col))
+
+
+def _shingle_rows(text: str, n: int):
+    """Per-document distinct n-word shingles, first-occurrence order —
+    byte-identical to ``array_distinct(transform(sequence(...),
+    i -> concat_ws(' ', slice(split(text, ' '), i+1, n))))`` (python
+    ``str.split(' ')`` matches Java ``split(/ /, -1)`` including empty
+    tokens around consecutive separators)."""
+    words = text.split(" ")
+    if len(words) < n:
+        return None
+    return list(dict.fromkeys(
+        " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+    ))
+
+
+_ID_PD_DTYPE = {"bigint": "int64", "int": "int32", "smallint": "int16",
+                "string": "object", "double": "float64", "float": "float32"}
+
+
+def shingle_arrays_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh_arr) — per-document distinct-shingle ARRAYS via one Arrow
+    map (guide §4.2: batch python string ops instead of interpreted
+    higher-order Column lambdas, which get no whole-stage codegen and
+    re-allocate a slice per shingle). Rows with NULL text or fewer than
+    ``n`` words are dropped — identical to the Column formulation's
+    ``where(size(words) >= n)`` under null-comparison semantics."""
+    import pandas as pd  # noqa: F401 — executor-side import check
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_dtype = _ID_PD_DTYPE.get(id_type, "object")
+
+    def fn(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, shs = [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if text is None:
+                    continue
+                sh = _shingle_rows(text, n)
+                if sh is None:
+                    continue
+                ids.append(did)
+                shs.append(sh)
+            yield _pd.DataFrame({
+                id_col: _pd.Series(ids, dtype=id_dtype),
+                "sh_arr": _pd.Series(shs, dtype="object"),
+            })
+
+    src = spread_partitions(df.select(id_col, text_col), id_col)
+    return src.mapInPandas(fn, f"{id_col} {id_type}, sh_arr array<string>")
+
+
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/word statistics used for quality filtering.
 
@@ -122,28 +200,14 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle).
 
-    Built with a lateral transform over the word array — one projection, no
-    self-joins; identical results to a windowed lead() formulation in SQL.
+    Computed array-side per document (a doc's shingles live in its own
+    row — zero shuffle), via the Arrow batch map
+    (:func:`shingle_arrays_arrow`): python string slicing replaces the
+    old interpreted higher-order ``transform``/``slice`` lambdas, which
+    get no whole-stage codegen (guide §4.2) — identical rows.
     """
-    # bind the split to a REAL column first: higher-order lambdas get no
-    # common-subexpression elimination, so an inline `split(text)` would be
-    # re-evaluated per array element (O(words²) per doc — measured 4×
-    # slower). CollapseProject keeps the alias because it's referenced more
-    # than once and split() isn't cheap.
-    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
-    words = F.col("_words")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    # dedup INSIDE the row (a document's shingles all live in its own array)
-    # — semantically identical to a global .distinct() but zero-shuffle, and
-    # the jaccard operators reference this frame several times (sizes,
-    # candidates, verification): a shuffling distinct here would be
-    # recomputed per consumer (column pruning defeats ReuseExchange)
-    return (
-        bound.where(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return shingle_arrays_arrow(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -152,16 +216,11 @@ def word_shingle_counts(
 ) -> DataFrame:
     """(id, n_sh) distinct-shingle count per document — computed array-side
     in one zero-shuffle projection (the groupBy-count over the exploded
-    shingle frame costs a shuffle AND a full shingle recomputation)."""
-    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
-    words = F.col("_words")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return bound.where(F.size(words) >= n).select(
+    shingle frame costs a shuffle AND a full shingle recomputation);
+    shingling itself goes through the Arrow fast path."""
+    return shingle_arrays_arrow(df, id_col, text_col, n).select(
         F.col(id_col),
-        F.size(F.array_distinct(shingles)).cast("long").alias("n_sh"),
+        F.size("sh_arr").cast("long").alias("n_sh"),
     )
 
 
