@@ -832,14 +832,21 @@ def embedding_near_duplicates_lsh(
     (tunable via n_planes; near-identical vectors almost always share a
     bucket since they disagree on a plane with prob ≈ angle/π)."""
     from .similarity import cosine_expr, lsh_signature, with_norm
+    from .text import spread_partitions
 
-    sig = with_norm(lsh_signature(df, vec_col, dim, n_planes, seed), vec_col)
+    sig = with_norm(
+        lsh_signature(
+            spread_partitions(df, id_col), vec_col, dim, n_planes, seed
+        ),
+        vec_col,
+        dim=dim,
+    )
     a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                    F.col("_norm").alias("na"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                    F.col("_norm").alias("nb"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr("va", "vb", "na", "nb")
+    cos = cosine_expr("va", "vb", "na", "nb", dim)
     return (
         pairs.withColumn("cos", F.round(cos, 4))
         .where(F.col("cos") >= threshold)

