@@ -913,14 +913,28 @@ def _streaming_hll(spark, sf_dir):
     def _overwrite(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(sink)
 
-    q = (
-        regs.writeStream.foreachBatch(_overwrite)
-        .outputMode("complete")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The stateful aggregation's state is CONSTANT-size (groups × 2^p
+    # registers ≈ 1.3k keys, the whole point of the sketch), but every
+    # micro-batch pays a state-store open/commit per shuffle partition —
+    # at the bench's 128 partitions that is 128 state stores × 5 batches
+    # for ~1.3k keys. Scope the streaming query to a bounded state
+    # partition count: correct at ANY corpus scale because state size is
+    # independent of input rows (registers, not values). Results are
+    # partition-count-invariant (register max is a commutative monoid).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_state = min(16, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = (
+            regs.writeStream.foreachBatch(_overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return hll_estimate_from_registers(
         spark.read.parquet(sink), ["o_orderpriority"], p=8
     )

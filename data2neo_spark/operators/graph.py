@@ -58,19 +58,46 @@ def pagerank(
     """
     import os as _os
 
+    from .text import spread_partitions
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
-        .distinct()
+    # ONE aggregation derives the node set, per-src out-degrees AND the
+    # no-incoming-edge set (r6): the old shape paid three passes over the
+    # edge frame (union-distinct for nodes, groupBy(src) for degrees, an
+    # anti join for no_in) — outdeg = count of src-tagged rows per node,
+    # and a node never tagged as dst (min tag = 1) has no in-edges
+    stats = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("v"), F.lit(1).alias("s")),
+                    F.struct(F.col("dst").alias("v"), F.lit(0).alias("s")),
+                )
+            ).alias("_x")
+        )
+        .select("_x.v", "_x.s")
+        .groupBy("v")
+        .agg(F.sum("s").alias("_outdeg"), F.min("s").alias("_min_s"))
         .persist()
     )
-    n = nodes.count()
+    n = stats.count()
+    nodes = stats.select("v")
     if n == 0:
-        nodes.unpersist()
+        stats.unpersist()
         return nodes.withColumn("pr", F.lit(0).cast("long"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "src").persist()
+    deg = stats.where(F.col("_outdeg") > 0).select(
+        F.col("v").alias("src"), F.col("_outdeg").alias("deg")
+    )
+    if n <= broadcast_nodes_max:
+        # same gate as the per-round rank broadcast (deg is strictly
+        # smaller than the rank frame): avoids a sort-merge join just to
+        # attach degrees to the edge frame
+        deg = F.broadcast(deg)
+    # spread before persisting: the cached probe side of every round's
+    # broadcast join would otherwise inherit the scan's (or AQE's
+    # size-coalesced) few partitions and run each round on a fraction of
+    # the cores; no-op when the frame already has enough partitions
+    ed = spread_partitions(e.join(deg, "src"), "src").persist()
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     # each round materializes (persist + count) before the next round's
     # broadcast build references it — a fully-lazy recurrence would
@@ -98,10 +125,10 @@ def pagerank(
             )
     bcast = (lambda d: F.broadcast(d)) if n <= broadcast_nodes_max else (lambda d: d)
     # nodes with no incoming edge keep the constant rank `base` in every
-    # round — materialize that set ONCE and union it per round instead of
-    # left-joining contributions back to the full node set
+    # round — that set falls out of the shared stats aggregate (a node
+    # never tagged as dst), no extra anti join
     no_in = (
-        nodes.join(e.select(F.col("dst").alias("v")).distinct(), "v", "left_anti")
+        stats.where(F.col("_min_s") == 1)
         .select("v", F.lit(base).cast("long").alias("pr"))
         .persist()
     )
@@ -133,7 +160,7 @@ def pagerank(
         pr = new_pr
     ed.unpersist()
     no_in.unpersist()
-    nodes.unpersist()
+    stats.unpersist()
     return pr
 
 
@@ -183,27 +210,30 @@ def cooccurrence_edges(
     items (sorted prefix, same contract as the incremental-dedup corpus
     cap in operators/dedup.py) — deterministic and SQL-replayable, and
     it bounds the blowup of degenerate hub groups (a page mentioning
-    thousands of entities). One exchange on the group key: the cap
-    window and the pair self-join both reuse it; the final weight
-    groupBy shuffles once on (a, b) with map-side partials.
-    """
-    from pyspark.sql import Window
+    thousands of entities).
 
-    gi = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
+    Shape (r6): ONE groupBy(g) builds each group's distinct sorted
+    (capped) item array — ``collect_set`` is the within-group distinct,
+    so the old standalone ``.distinct()`` exchange and the row_number
+    window (plus its self-join) collapse into the same aggregation —
+    then pairs emit array-side (bounded by the cap, ≤ k²/2 structs per
+    group row) into the final (a, b) weight groupBy with map-side
+    partials. Two exchanges total instead of three plus a join.
+    """
+    from .dedup import _pairs_expr
+
+    items = F.array_sort(F.collect_set(F.col(item_col)))
     if max_group_size is not None:
-        w = Window.partitionBy("g").orderBy("item")
-        gi = (
-            gi.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= max_group_size)
-            .drop("_rk")
-        )
-    a = gi.select("g", F.col("item").alias("a"))
-    b = gi.select("g", F.col("item").alias("b"))
+        items = F.slice(items, 1, int(max_group_size))
+    grp = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias(item_col))
+        .groupBy("g")
+        .agg(items.alias("_items"))
+        .where(F.size("_items") >= 2)
+    )
     return (
-        a.join(b, "g")
-        .where(F.col("a") < F.col("b"))
+        grp.select(F.explode(_pairs_expr("_items")).alias("_p"))
+        .select(F.col("_p.id_a").alias("a"), F.col("_p.id_b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
@@ -342,8 +372,11 @@ def khop_reachability(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
         )
     # the edge frame is probed once per layer — persist it so k layers
-    # cost one source scan, not k (pagerank's `ed` contract)
-    e = e.persist()
+    # cost one source scan, not k (pagerank's `ed` contract); spread so
+    # the per-layer probe runs on all cores (no-op at real scale)
+    from .text import spread_partitions
+
+    e = spread_partitions(e, "_s").persist()
     seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
 
     from pyspark.sql import Observation
@@ -448,12 +481,17 @@ def label_propagation(
     memory contract). ``checkpoint_dir`` writes each round's label table
     to ``<dir>/lpa_round_<i>`` and resumes from the highest complete
     round (pagerank's checkpoint contract)."""
+    from .text import spread_partitions
+
     nb = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
     # probed every round — persist so rounds don't re-derive the
-    # adjacency from the source plan (khop/pagerank edge contract)
-    nb = nb.persist()
+    # adjacency from the source plan (khop/pagerank edge contract);
+    # spread first so the cached probe side of each round's broadcast
+    # join runs on all cores, not the upstream plan's few AQE-coalesced
+    # partitions (no-op at real scale)
+    nb = spread_partitions(nb, "node").persist()
     nodes = nb.select("node").distinct()
     labels = nodes.select("node", F.col("node").alias("label")).persist()
     n_nodes = labels.count()
