@@ -240,7 +240,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = spread_partitions(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
     tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -343,6 +343,9 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     aggregation (top n-gram share) lives in :func:`top_ngram_share`.
     """
     text = F.col(text_col)
+    # the per-row battery (line/paragraph dup scans are O(n²) array HOFs)
+    # is the heavy part — spread it (no-op at real scale)
+    df = spread_partitions(df, text_col)
     bound = (
         df.withColumn("_words", F.split(text, " "))
         .withColumn("_lines", F.split(text, "\n"))
@@ -404,9 +407,12 @@ def top_ngram_share(
     max/sum — two shuffles, both with map-side partial aggregation; this
     codegen'd path beats an interpreted per-row higher-order fold (the
     same measured tradeoff as SimHash, see operators/dedup.py). Documents
-    shorter than ``n`` words are absent from the result.
+    shorter than ``n`` words are absent from the result. The per-row
+    gram build (a slice per position) gets the parallelism spread.
     """
-    bound = df.withColumn("_words", F.split(F.col(text_col), " "))
+    bound = spread_partitions(df, id_col).withColumn(
+        "_words", F.split(F.col(text_col), " ")
+    )
     words = F.col("_words")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - F.lit(n)),
@@ -677,7 +683,10 @@ def _bigram_stream(
     """([id,] w1, w2) — one row per adjacent word pair. The pair array is
     built inside the scan stage (sequence+element_at, zero shuffle); docs
     shorter than 2 words emit nothing (sequence(0, -1) would count DOWN —
-    the same guard as remove_shared_ngrams)."""
+    the same guard as remove_shared_ngrams). The per-row pair build is
+    the heavy part, so the input gets the deterministic parallelism
+    spread (no-op at real scale)."""
+    df = spread_partitions(df, id_col if id_col is not None else text_col)
     bound = df.withColumn("_words", F.split(F.col(text_col), " "))
     words = F.col("_words")
     pairs = F.transform(
@@ -956,7 +965,8 @@ def _trigram_stream(
 ) -> DataFrame:
     """([id,] w1, w2, w3) — one row per adjacent word triple, built
     inside the scan stage like _bigram_stream (zero shuffle); docs
-    shorter than 3 words emit nothing."""
+    shorter than 3 words emit nothing. Spread like _bigram_stream."""
+    df = spread_partitions(df, id_col if id_col is not None else text_col)
     bound = df.withColumn("_words", F.split(F.col(text_col), " "))
     words = F.col("_words")
     triples = F.transform(
