@@ -120,11 +120,19 @@ def name_near_duplicates(
             F.col("_p.a.n").alias("name_a"), F.col("_p.b.n").alias("name_b"),
         )
         .where(F.col("id_a") < F.col("id_b"))
+    )
+    # verify BEFORE the cross-key dedup: distance is a pure function of
+    # the pair, so filter-then-distinct is row-identical to
+    # distinct-then-filter, and the distinct no longer shuffles the d=2
+    # false candidates (two distinct deletions sharing a key) — on
+    # digit-run name spaces those dominate the candidate stream
+    return (
+        cand.withColumn(
+            "distance", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("distance") <= 1)
         .distinct()
     )
-    return cand.withColumn(
-        "distance", F.levenshtein("name_a", "name_b").cast("long")
-    ).where(F.col("distance") <= 1)
 
 
 def canonicalize_names(
