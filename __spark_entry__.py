@@ -1705,9 +1705,11 @@ def _graph_link_prediction(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=8)
+    # cooccurrence output holds each undirected edge once (canonical
+    # a < b), so the operator skips its provably-no-op dedup exchanges
     return link_prediction_jaccard(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        max_pivot_degree=64, top_k=50,
+        max_pivot_degree=64, top_k=50, edges_distinct=True,
     )
 
 
@@ -1724,7 +1726,7 @@ def _graph_adamic_adar(spark, sf_dir):
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=8)
     return link_prediction_adamic_adar(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        max_pivot_degree=64, top_k=50,
+        max_pivot_degree=64, top_k=50, edges_distinct=True,
     )
 
 

@@ -736,6 +736,7 @@ def link_prediction_jaccard(
     max_pivot_degree: int = 64,
     top_k: int = 50,
     scale: int = 1_000_000,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Neighbor-Jaccard link prediction over the undirected graph:
     for node pairs sharing at least one neighbor and NOT already
@@ -756,14 +757,21 @@ def link_prediction_jaccard(
     groupBy with map-side partials, two broadcast-friendly degree
     joins, one LEFT ANTI against the existing edge set, and a global
     top-k (TakeOrderedAndProject, no full sort).
+
+    ``edges_distinct=True`` is the caller's promise that ``edges`` holds
+    each undirected edge exactly once in one canonical direction (e.g.
+    :func:`cooccurrence_edges` output) — the adjacency and existing-edge
+    dedups are then provably no-ops and their exchanges are skipped
+    (identical results, one fewer shuffle each).
     """
     from pyspark.sql import Window
 
     nb = (
         edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
         .unionAll(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
-        .distinct()
     )
+    if not edges_distinct:
+        nb = nb.distinct()
     deg = nb.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     w = Window.partitionBy("v").orderBy("u")
     capped = (
@@ -781,7 +789,9 @@ def link_prediction_jaccard(
     )
     existing = nb.select(
         F.least("v", "u").alias("a"), F.greatest("v", "u").alias("b")
-    ).distinct()
+    )
+    if not edges_distinct:
+        existing = existing.distinct()
     cand = common.join(existing, ["a", "b"], "left_anti")
     out = (
         cand.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a")), "a")
@@ -805,6 +815,7 @@ def link_prediction_adamic_adar(
     max_pivot_degree: int = 64,
     top_k: int = 50,
     scale: int = 1_000_000,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Adamic–Adar link prediction, integer-quantized: each shared
     pivot ``v`` contributes ``scale div ilog2(deg_v)`` (ilog2 exact via
@@ -815,15 +826,17 @@ def link_prediction_adamic_adar(
     refinement over Jaccard for hub-heavy graphs. Same candidate
     machinery and caps as :func:`link_prediction_jaccard`; returns the
     top_k non-adjacent pairs ``(a, b, common, aa_x{scale})`` ordered by
-    (score desc, a, b).
+    (score desc, a, b). ``edges_distinct`` as in
+    :func:`link_prediction_jaccard`.
     """
     from pyspark.sql import Window
 
     nb = (
         edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
         .unionAll(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
-        .distinct()
     )
+    if not edges_distinct:
+        nb = nb.distinct()
     deg = nb.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     # pivot weight: scale div max(1, ilog2(deg)) — exact integer
     pw = deg.select(
@@ -852,7 +865,9 @@ def link_prediction_adamic_adar(
     )
     existing = nb.select(
         F.least("v", "u").alias("a"), F.greatest("v", "u").alias("b")
-    ).distinct()
+    )
+    if not edges_distinct:
+        existing = existing.distinct()
     return (
         scored.join(existing, ["a", "b"], "left_anti")
         .orderBy(F.desc(f"aa_x{int(scale)}"), "a", "b")
