@@ -467,7 +467,13 @@ def _dedup_clusters(spark, sf_dir):
         _read(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.1,
         max_shingle_df=50,
     )
-    return duplicate_clusters(pairs)
+    # jump=False: VERIFIED near-dup clusters are dense (similarity is
+    # near-transitive), so the component diameter is small by workload
+    # construction and the per-round pointer-jump join costs more than
+    # the rounds it saves (A/B-measured 2x). The fixpoint — and thus the
+    # oracle hash — is identical either way; the operator default stays
+    # jump=True for adversarial chain-shaped graphs.
+    return duplicate_clusters(pairs, jump=False)
 
 
 def _dedup_minhash(spark, sf_dir):
